@@ -1,0 +1,204 @@
+"""SpMV / SpMM on the SELL-pack format — XLA-native path and dispatcher.
+
+The XLA path expresses the whole SpMV as three fusable dense ops over the
+slot-major planes:
+
+    contrib   = vals_plane * x[cols_plane]          # gather + FMA   [S, C]
+    y_sorted  = segment_sum(contrib, slot_slice)    # per-slice sum  [n, C]
+    y         = y_sorted.ravel()[row_rank]          # un-permute     [nrows]
+
+Because rows were length-sorted at pack time, every lane of a slice carries
+near-identical work — the load-balance property CVR achieves with its
+record/steal machinery (ref: spmv.cpp:808-1000) is already in the data
+layout, so no scalar drains, atomics (ref: spmv.cpp:1280-1282) or
+calibrator passes (csr5_spmv_avx512.h:291-308) exist at compute time.
+
+A Pallas kernel for the same layout lives in cvr_tpu.ops.pallas_spmv; the
+``spmv``/``spmm`` dispatchers pick the best available implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvr_tpu.formats.csr import CSRMatrix
+from cvr_tpu.formats.sell import SellMatrix
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "vals_plane",
+        "cols_plane",
+        "slot_slice",
+        "slice_offsets",
+        "perm",
+        "row_rank",
+        "lane_lengths",
+    ],
+    meta_fields=["has_splits"],
+)
+@dataclasses.dataclass(frozen=True)
+class SellDevice:
+    """Device-resident SELL-pack planes (a pytree of jax.Arrays).
+
+    ``has_splits`` is static metadata: when True, long rows were segmented
+    at pack time and the result combine is a scatter-add over ``perm``;
+    when False it is a pure gather through ``row_rank``.
+    """
+
+    vals_plane: jax.Array  # [S, C]
+    cols_plane: jax.Array  # [S, C] int32
+    slot_slice: jax.Array  # [S] int32
+    slice_offsets: jax.Array  # [nslices + 1] int32
+    perm: jax.Array  # [nslices * C] int32 (segment -> row)
+    row_rank: jax.Array  # [nrows] int32
+    lane_lengths: jax.Array  # [nslices * C] int32
+    has_splits: bool
+
+    @property
+    def nslices(self) -> int:
+        return self.slice_offsets.shape[0] - 1
+
+    @property
+    def C(self) -> int:
+        return self.vals_plane.shape[1]
+
+    @property
+    def nrows(self) -> int:
+        return self.row_rank.shape[0]
+
+
+def to_device(sm: SellMatrix, device=None) -> SellDevice:
+    put = functools.partial(jax.device_put, device=device)
+    return SellDevice(
+        vals_plane=put(sm.vals_plane),
+        cols_plane=put(sm.cols_plane),
+        slot_slice=put(sm.slot_slice),
+        slice_offsets=put(sm.slice_offsets),
+        perm=put(sm.perm),
+        row_rank=put(sm.row_rank),
+        lane_lengths=put(sm.lane_lengths),
+        has_splits=sm.n_splits > 0,
+    )
+
+
+def _combine(sd: SellDevice, y_sorted_flat: jax.Array) -> jax.Array:
+    """Per-segment partials -> y, matching the pack-time layout.
+
+    No splits: pure gather through row_rank.  With splits: scatter-add the
+    partials of each row's segments (the AOT analogue of CVR's omp-atomic
+    tail flush, spmv.cpp:1631-1651).  Padding positions carry partial 0 and
+    are routed to a sentinel row that is sliced off.
+    """
+    if not sd.has_splits:
+        return jnp.take(y_sorted_flat, sd.row_rank, axis=0)
+    nrows = sd.nrows
+    zeros = jnp.zeros((nrows + 1,) + y_sorted_flat.shape[1:], y_sorted_flat.dtype)
+    return zeros.at[sd.perm].add(y_sorted_flat)[:nrows]
+
+
+def sell_spmv_xla(sd: SellDevice, x: jax.Array) -> jax.Array:
+    """y = A @ x on the SELL-pack planes, pure XLA."""
+    contrib = sd.vals_plane * jnp.take(x, sd.cols_plane, axis=0)
+    y_sorted = jax.ops.segment_sum(
+        contrib,
+        sd.slot_slice,
+        num_segments=sd.nslices,
+        indices_are_sorted=True,
+    )
+    return _combine(sd, y_sorted.reshape(-1))
+
+
+def sell_spmm_xla(sd: SellDevice, X: jax.Array) -> jax.Array:
+    """Y = A @ X for a dense block of K right-hand sides (X: [ncols, K]).
+
+    Multi-RHS SpMV is the configuration that engages the MXU (BASELINE.json
+    config #4): the gathered X rows form dense (C, K) tiles and the
+    weighted reduction over slots is a batched rank-1 accumulation XLA can
+    map onto the matrix unit.
+    """
+    gathered = jnp.take(X, sd.cols_plane, axis=0)  # [S, C, K]
+    contrib = sd.vals_plane[..., None] * gathered
+    y_sorted = jax.ops.segment_sum(
+        contrib,
+        sd.slot_slice,
+        num_segments=sd.nslices,
+        indices_are_sorted=True,
+    )  # [nslices, C, K]
+    flat = y_sorted.reshape(-1, X.shape[1])
+    return _combine(sd, flat)
+
+
+# ---------------------------------------------------------------------------
+# High-level dispatchers
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_sell_spmv():
+    return jax.jit(sell_spmv_xla)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_sell_spmm():
+    return jax.jit(sell_spmm_xla)
+
+
+def spmv(A, x, impl: str = "auto"):
+    """y = A @ x.  A may be a SellMatrix / SellDevice / CSRMatrix.
+
+    impl: "auto" | "xla" | "pallas".
+    """
+    from cvr_tpu.ops import pallas_spmv
+
+    if isinstance(A, SellMatrix):
+        A = to_device(A)
+    x = jnp.asarray(x)
+    if isinstance(A, SellDevice):
+        if impl == "pallas" or (
+            impl == "auto" and pallas_spmv.is_supported(A, x)
+        ):
+            return pallas_spmv.sell_spmv_pallas(A, x)
+        return _jitted_sell_spmv()(A, x)
+    if isinstance(A, CSRMatrix):
+        from cvr_tpu.ops.spmv_ref import spmv_csr_jnp
+
+        return spmv_csr_jnp(
+            jnp.asarray(A.rowptr),
+            jnp.asarray(A.cols),
+            jnp.asarray(A.vals),
+            x,
+            A.shape[0],
+        )
+    raise TypeError(f"unsupported matrix type {type(A)}")
+
+
+def spmm(A, X, impl: str = "auto"):
+    """Y = A @ X for dense X [ncols, K]."""
+    if isinstance(A, SellMatrix):
+        A = to_device(A)
+    X = jnp.asarray(X)
+    if isinstance(A, SellDevice):
+        return _jitted_sell_spmm()(A, X)
+    if isinstance(A, CSRMatrix):
+        from cvr_tpu.ops.spmv_ref import spmv_csr_jnp
+
+        f = jax.vmap(
+            lambda col: spmv_csr_jnp(
+                jnp.asarray(A.rowptr),
+                jnp.asarray(A.cols),
+                jnp.asarray(A.vals),
+                col,
+                A.shape[0],
+            ),
+            in_axes=1,
+            out_axes=1,
+        )
+        return f(X)
+    raise TypeError(f"unsupported matrix type {type(A)}")
