@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Headline benchmark: SELL-pack SpMV on a web-Google-scale power-law matrix.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares 2*nnz GFLOPS against the reference CVR binary's
+webGraph-domain average on its own target hardware (7.28 GFLOPS on a
+68-core Xeon Phi KNL, CVR paper Table 3 — see BASELINE.md).
+
+Usage: python bench.py [--quick] [--impl sell-xla|sell-pallas|csr]
+                       [--iters N] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+# Reference: CVR webGraph domain average, 2*nnz GFLOPS (paper Table 3).
+CVR_KNL_WEBGRAPH_GFLOPS = 7.28
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small matrix")
+    ap.add_argument("--impl", default="sell-xla")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    from cvr_tpu.bench.harness import run_spmv_benchmark
+    from cvr_tpu.bench.synthetic import rmat_matrix, web_google_like
+
+    if args.quick:
+        coo = rmat_matrix(scale=13, edge_factor=8, seed=3)
+        name = "rmat13"
+        iters = args.iters or 200
+    else:
+        coo = web_google_like()
+        name = "web-Google-like"
+        iters = args.iters or 100
+
+    r = run_spmv_benchmark(coo, name=name, impl=args.impl, iters=iters)
+    if not args.json_only:
+        r.print_report()
+        print(r.to_json(), file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"SpMV GFLOPS (2*nnz) on {name}, {args.impl}",
+                "value": round(r.gflops_2nnz, 3),
+                "unit": "GFLOPS",
+                "vs_baseline": round(
+                    r.gflops_2nnz / CVR_KNL_WEBGRAPH_GFLOPS, 3
+                ),
+            }
+        )
+    )
+    return 0 if (r.verified in (True, None)) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,241 @@
+"""ctypes bindings for the native host runtime (native/libcvr_native.so).
+
+Provides the fast paths for MatrixMarket parsing, COO->CSR assembly and
+the SELL-pack converter; every caller has a pure-NumPy fallback, so the
+package works without the compiled library (``CVR_TPU_NO_NATIVE=1``
+disables it explicitly).  Build with ``make -C native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_SO_PATH = _REPO_ROOT / "native" / "libcvr_native.so"
+
+FIELD_NAMES = {0: "real", 1: "integer", 2: "pattern", 3: "complex"}
+SYM_NAMES = {0: "general", 1: "symmetric", 2: "skew-symmetric", 3: "hermitian"}
+
+_i64 = ctypes.c_int64
+_i32 = ctypes.c_int32
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def _build_if_needed() -> bool:
+    if _SO_PATH.exists():
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", str(_SO_PATH.parent)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _SO_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable/disabled."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("CVR_TPU_NO_NATIVE"):
+        return None
+    if not _build_if_needed():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+    except OSError:
+        return None
+
+    lib.cvr_last_error.restype = ctypes.c_char_p
+    lib.cvr_version.restype = ctypes.c_int
+    lib.cvr_mtx_open.restype = ctypes.c_int
+    lib.cvr_mtx_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(_i64),
+        ctypes.POINTER(_i64),
+        ctypes.POINTER(_i64),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.cvr_mtx_read.restype = ctypes.c_int
+    lib.cvr_mtx_read.argtypes = [ctypes.c_int, _i32p, _i32p, _f32p, ctypes.c_int]
+    lib.cvr_mtx_close.restype = ctypes.c_int
+    lib.cvr_mtx_close.argtypes = [ctypes.c_int]
+    lib.cvr_coo_to_csr.restype = ctypes.c_int
+    lib.cvr_coo_to_csr.argtypes = [
+        _i64, _i64, _i32p, _i32p, _f32p, _i64p, _i32p, _f32p,
+    ]
+    lib.cvr_sell_count_segments.restype = _i64
+    lib.cvr_sell_count_segments.argtypes = [_i64, _i64p, _i64]
+    lib.cvr_sell_plan.restype = ctypes.c_int
+    lib.cvr_sell_plan.argtypes = [
+        _i64, _i64p, _i64, _i64, _i32p, _i32p, _i32p, _i64p,
+    ]
+    lib.cvr_sell_fill.restype = ctypes.c_int
+    lib.cvr_sell_fill.argtypes = [
+        _i64, _i64, _i64p, _i32p, _f32p, _i32p, _i32p, _i32p, _i64p,
+        _i32p, _f32p, _i32p,
+    ]
+    if lib.cvr_version() != 1:
+        return None
+    _LIB = lib
+    return _LIB
+
+
+def native_error(lib) -> str:
+    return lib.cvr_last_error().decode()
+
+
+class NativeError(RuntimeError):
+    pass
+
+
+def mtx_read_native(path: str | os.PathLike, pattern_mode: int = 0):
+    """Parse a coordinate .mtx with the native parser.
+
+    Returns (rows, cols, vals, nrows, ncols, field, symmetry) with raw
+    (un-mirrored) entries, 0-based.  Raises NativeError when the native
+    path can't handle the file (caller falls back to the Python parser).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    nrows = _i64()
+    ncols = _i64()
+    nnz = _i64()
+    field = ctypes.c_int()
+    sym = ctypes.c_int()
+    h = lib.cvr_mtx_open(
+        str(path).encode(),
+        ctypes.byref(nrows),
+        ctypes.byref(ncols),
+        ctypes.byref(nnz),
+        ctypes.byref(field),
+        ctypes.byref(sym),
+    )
+    if h < 0:
+        raise NativeError(native_error(lib))
+    try:
+        rows = np.empty(nnz.value, dtype=np.int32)
+        cols = np.empty(nnz.value, dtype=np.int32)
+        vals = np.empty(nnz.value, dtype=np.float32)
+        if lib.cvr_mtx_read(h, rows, cols, vals, pattern_mode) != 0:
+            raise NativeError(native_error(lib))
+    finally:
+        lib.cvr_mtx_close(h)
+    return (
+        rows,
+        cols,
+        vals,
+        int(nrows.value),
+        int(ncols.value),
+        FIELD_NAMES[field.value],
+        SYM_NAMES[sym.value],
+    )
+
+
+def coo_to_csr_native(nrows: int, rows, cols, vals):
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    nnz = rows.shape[0]
+    rowptr = np.empty(nrows + 1, dtype=np.int64)
+    out_cols = np.empty(nnz, dtype=np.int32)
+    out_vals = np.empty(nnz, dtype=np.float32)
+    if lib.cvr_coo_to_csr(
+        nrows, nnz, rows, cols, vals, rowptr, out_cols, out_vals
+    ) != 0:
+        raise NativeError(native_error(lib))
+    return rowptr, out_cols, out_vals
+
+
+def sell_pack_native(rowptr, csr_cols, csr_vals, C: int, split_len: int):
+    """Native CSR -> SELL-pack.  Returns the same arrays sell_pack builds.
+
+    (Sorting is a counting sort on segment length — O(G + maxlen), exactly
+    stable like np.argsort(kind='stable').)
+    """
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    csr_cols = np.ascontiguousarray(csr_cols, dtype=np.int32)
+    csr_vals = np.ascontiguousarray(csr_vals, dtype=np.float32)
+    nrows = rowptr.shape[0] - 1
+
+    G = int(lib.cvr_sell_count_segments(nrows, rowptr, split_len))
+    seg_row = np.empty(G, dtype=np.int32)
+    seg_off = np.empty(G, dtype=np.int32)
+    sorted_len = np.empty(G, dtype=np.int32)
+    order = np.empty(G, dtype=np.int64)
+    if lib.cvr_sell_plan(
+        nrows, rowptr, split_len, G, seg_row, seg_off, sorted_len, order
+    ) != 0:
+        raise NativeError(native_error(lib))
+
+    nslices = max(1, -(-G // C))
+    P = nslices * C
+    pad_sorted_len = np.zeros(P, dtype=np.int32)
+    pad_sorted_len[:G] = sorted_len
+    widths = pad_sorted_len.reshape(nslices, C).max(axis=1)
+    slice_offsets = np.zeros(nslices + 1, dtype=np.int32)
+    np.cumsum(widths, out=slice_offsets[1:])
+    S = int(slice_offsets[-1])
+
+    vals_plane = np.zeros((S, C), dtype=np.float32)
+    cols_plane = np.zeros((S, C), dtype=np.int32)
+    if lib.cvr_sell_fill(
+        G,
+        C,
+        rowptr,
+        csr_cols,
+        csr_vals,
+        seg_row,
+        seg_off,
+        sorted_len,
+        order,
+        slice_offsets,
+        vals_plane,
+        cols_plane,
+    ) != 0:
+        raise NativeError(native_error(lib))
+
+    perm = np.full(P, nrows, dtype=np.int32)
+    perm[:G] = seg_row[order]
+    seg_offset = np.zeros(P, dtype=np.int32)
+    seg_offset[:G] = seg_off[order]
+    lane_lengths = pad_sorted_len
+    slot_slice = np.repeat(np.arange(nslices, dtype=np.int32), widths)
+    n_splits = G - nrows
+    return (
+        vals_plane,
+        cols_plane,
+        slice_offsets,
+        slot_slice,
+        perm,
+        seg_offset,
+        lane_lengths,
+        n_splits,
+    )
+
+
+def available() -> bool:
+    return get_lib() is not None

@@ -10,9 +10,20 @@ counts — web-Google is 916K x 916K with 5.10M nnz, paper Table 2).  Real
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 import numpy as np
 
 from cvr_tpu.formats.coo import COOMatrix
+
+
+def _cache_dir() -> Path:
+    d = Path(
+        os.environ.get("CVR_TPU_CACHE", Path.home() / ".cache" / "cvr_tpu")
+    )
+    d.mkdir(parents=True, exist_ok=True)
+    return d
 
 
 def rmat_matrix(
@@ -23,21 +34,38 @@ def rmat_matrix(
     c: float = 0.19,
     seed: int = 42,
     dtype=np.float32,
+    cache: bool = True,
 ) -> COOMatrix:
     """R-MAT power-law graph: 2**scale vertices, edge_factor * 2**scale edges.
 
     Kronecker quadrant probabilities (a, b, c, 1-a-b-c) follow the Graph500
     convention; duplicates are coalesced, so the final nnz is slightly below
-    the nominal edge count (like real web crawls).
+    the nominal edge count (like real web crawls).  Deterministic for a
+    given seed; large instances are cached on disk.
     """
     n = 1 << scale
     nnz = edge_factor * n
+    key = f"rmat_s{scale}_e{edge_factor}_a{a}_b{b}_c{c}_seed{seed}.npz"
+    cpath = _cache_dir() / key
+    if cache and scale >= 16 and cpath.exists():
+        z = np.load(cpath)
+        return COOMatrix(
+            rows=z["rows"],
+            cols=z["cols"],
+            vals=z["vals"].astype(dtype),
+            shape=(n, n),
+        )
+
     rng = np.random.default_rng(seed)
     d = 1.0 - a - b - c
     rows = np.zeros(nnz, dtype=np.int64)
     cols = np.zeros(nnz, dtype=np.int64)
+    # Inverse-CDF sampling of the quadrant, one uniform draw per level
+    # (much faster than rng.choice with probabilities).
+    cdf = np.cumsum([a, b, c, d])[:3]
     for _level in range(scale):
-        q = rng.choice(4, size=nnz, p=[a, b, c, d])
+        u = rng.random(nnz)
+        q = np.searchsorted(cdf, u).astype(np.int64)
         rows = (rows << 1) | (q >> 1)
         cols = (cols << 1) | (q & 1)
     vals = rng.standard_normal(nnz).astype(dtype)
@@ -46,8 +74,10 @@ def rmat_matrix(
         cols=cols.astype(np.int32),
         vals=vals,
         shape=(n, n),
-    )
-    return coo.sum_duplicates()
+    ).sum_duplicates()
+    if cache and scale >= 16:
+        np.savez(cpath, rows=coo.rows, cols=coo.cols, vals=coo.vals)
+    return coo
 
 
 def web_google_like(seed: int = 42) -> COOMatrix:

@@ -1,0 +1,191 @@
+"""Command-line driver.
+
+Reproduces the reference's UX — ``./spmv.cvr <file.mtx> <threads> <iters>``
+(spmv.cpp:1693-1712, README.md:26-28) — as subcommands:
+
+  python -m cvr_tpu.cli spmv <file.mtx> [--iters N] [--format sell|csr]
+                             [--rhs K] [--c C] [--sigma S] [--no-verify]
+                             [--save-packed out.npz] [--load-packed in.npz]
+  python -m cvr_tpu.cli compare <file.mtx> [--iters N]
+  python -m cvr_tpu.cli info <file.mtx>
+
+``compare`` runs every implementation on the same matrix and prints the
+greppable metric table, mirroring run_comparison.sh.  ``--threads`` is
+accepted for reference CLI compatibility and ignored (parallelism on TPU
+comes from the mesh, not a thread count).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _load(path: str, pattern_values: str):
+    from cvr_tpu.io.mmio import read_matrix_market
+
+    t0 = time.perf_counter()
+    coo = read_matrix_market(path, pattern_values=pattern_values)
+    print(
+        f"[file: {path}] read {coo.shape[0]}x{coo.shape[1]}, "
+        f"{coo.nnz} nnz in {time.perf_counter() - t0:.2f}s"
+    )
+    return coo
+
+
+def cmd_spmv(args) -> int:
+    from cvr_tpu.bench.harness import run_spmv_benchmark
+
+    coo = _load(args.matrix, args.pattern_values)
+
+    if args.rhs > 1:
+        return _spmm(args, coo)
+
+    impl = {"sell": "sell-xla", "sell-pallas": "sell-pallas", "csr": "csr"}[
+        args.format
+    ]
+    r = run_spmv_benchmark(
+        coo,
+        name=args.matrix,
+        impl=impl,
+        iters=args.iters,
+        C=args.c,
+        sigma=args.sigma,
+        verify_result=not args.no_verify,
+    )
+    r.print_report()
+    if args.save_packed:
+        from cvr_tpu.formats.sell import sell_pack
+
+        sell_pack(coo.to_csr(), C=args.c or 1024, sigma=args.sigma).save(
+            args.save_packed
+        )
+        print(f"packed artifact saved to {args.save_packed}")
+    return 0 if r.verified in (True, None) else 1
+
+
+def _spmm(args, coo) -> int:
+    import jax
+
+    from cvr_tpu.bench.harness import detect_chip, HBM_BW, time_fn_iterated
+    from cvr_tpu.formats.sell import sell_pack
+    from cvr_tpu.ops.spmv import sell_spmm_xla, to_device
+
+    csr = coo.to_csr()
+    t0 = time.perf_counter()
+    sm = sell_pack(csr, C=args.c or 1024, sigma=args.sigma)
+    preproc = time.perf_counter() - t0
+    sd = to_device(sm)
+    X = np.ones((coo.shape[1], args.rhs), dtype=np.float32)
+    import jax.numpy as jnp
+
+    Xd = jnp.asarray(X)
+    t = time_fn_iterated(sell_spmm_xla, sd, Xd, iters=args.iters)
+    gflops = 2.0 * csr.nnz * args.rhs / t / 1e9
+    print(
+        f"[file: {args.matrix}] [rhs: {args.rhs}] "
+        f"Pre-processing Time: {preproc * 1e3:.3f} ms"
+    )
+    print(
+        f"[file: {args.matrix}] [rhs: {args.rhs}] "
+        f"SpMM Execution Time: {t * 1e3:.6f} ms"
+    )
+    print(
+        f"[file: {args.matrix}] [rhs: {args.rhs}] "
+        f"Throughput: {gflops:.3f} GFlops (2*nnz*K)"
+    )
+    return 0
+
+
+def cmd_compare(args) -> int:
+    """Run all implementations on one matrix (run_comparison.sh analogue)."""
+    from cvr_tpu.bench.harness import run_spmv_benchmark
+
+    coo = _load(args.matrix, args.pattern_values)
+    results = []
+    for impl in ("csr", "sell-xla"):
+        try:
+            r = run_spmv_benchmark(
+                coo, name=args.matrix, impl=impl, iters=args.iters
+            )
+            r.print_report(threads_label=impl)
+            results.append(r)
+        except Exception as e:  # noqa: BLE001 — keep comparing
+            print(f"[{impl}] failed: {type(e).__name__}: {e}")
+    if results:
+        best = max(results, key=lambda r: r.gflops_2nnz)
+        print(
+            f"Best: {best.impl} at {best.gflops_2nnz:.3f} GFlops (2*nnz)"
+        )
+    return 0
+
+
+def cmd_info(args) -> int:
+    coo = _load(args.matrix, args.pattern_values)
+    csr = coo.to_csr()
+    lens = csr.row_lengths
+    print(f"rows: {coo.shape[0]}  cols: {coo.shape[1]}  nnz: {coo.nnz}")
+    print(
+        f"row nnz: min {lens.min()}  mean {lens.mean():.2f}  "
+        f"max {lens.max()}  empty {(lens == 0).sum()}"
+    )
+    from cvr_tpu.formats.sell import sell_pack
+
+    sm = sell_pack(csr)
+    print(
+        f"sell-pack: C={sm.C} slices={sm.nslices} slots={sm.n_slots} "
+        f"fill={sm.fill_ratio:.3f} splits={sm.n_splits} "
+        f"convert={sm.convert_time * 1e3:.1f} ms"
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="cvr_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("matrix", help=".mtx file (optionally .gz)")
+        p.add_argument("--iters", type=int, default=100)
+        p.add_argument(
+            "--threads",
+            type=int,
+            default=None,
+            help="ignored; reference-CLI compatibility",
+        )
+        p.add_argument(
+            "--pattern-values", default="mod13", choices=["mod13", "ones"]
+        )
+
+    p = sub.add_parser("spmv", help="convert + SpMV benchmark + verify")
+    common(p)
+    p.add_argument(
+        "--format", default="sell", choices=["sell", "sell-pallas", "csr"]
+    )
+    p.add_argument("--rhs", type=int, default=1, help="K for SpMM")
+    p.add_argument("--c", type=int, default=None, help="SELL lane count")
+    p.add_argument("--sigma", type=int, default=0, help="sort window")
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--save-packed", default=None)
+    p.set_defaults(fn=cmd_spmv)
+
+    p = sub.add_parser("compare", help="all impls on one matrix")
+    common(p)
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("info", help="matrix + packing statistics")
+    common(p)
+    p.set_defaults(fn=cmd_info)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

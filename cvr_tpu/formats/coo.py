@@ -55,18 +55,40 @@ class COOMatrix:
         sums = np.add.reduceat(v.astype(np.float64), idx).astype(v.dtype)
         return COOMatrix(r[idx], c[idx], sums, self.shape)
 
-    def to_csr(self) -> "CSRMatrix":
+    def to_csr(self, sort_cols: bool = True) -> "CSRMatrix":
+        """Assemble CSR.  sort_cols=True yields canonical (col-sorted rows,
+        scipy-comparable) form via lexsort; sort_cols=False keeps insertion
+        order within rows and uses the native O(nnz) counting sort when
+        available (column order within a row is irrelevant for SpMV)."""
         from cvr_tpu.formats.csr import CSRMatrix
 
-        s = self.sorted_by_row()
         nrows = self.shape[0]
-        counts = np.bincount(s.rows, minlength=nrows).astype(np.int64)
+        if not sort_cols and self.vals.dtype == np.float32:
+            try:
+                from cvr_tpu import _native
+
+                if _native.available():
+                    rowptr, cols, vals = _native.coo_to_csr_native(
+                        nrows, self.rows, self.cols, self.vals
+                    )
+                    return CSRMatrix(
+                        rowptr=rowptr, cols=cols, vals=vals, shape=self.shape
+                    )
+            except Exception:
+                pass
+        if sort_cols:
+            order = np.lexsort((self.cols, self.rows))
+        else:
+            order = np.argsort(self.rows, kind="stable")
+        counts = np.bincount(
+            self.rows, minlength=nrows
+        ).astype(np.int64)
         rowptr = np.zeros(nrows + 1, dtype=np.int64)
         np.cumsum(counts, out=rowptr[1:])
         return CSRMatrix(
             rowptr=rowptr,
-            cols=s.cols.astype(np.int32),
-            vals=s.vals,
+            cols=self.cols[order].astype(np.int32),
+            vals=self.vals[order],
             shape=self.shape,
         )
 

@@ -182,12 +182,15 @@ def sell_pack(
     C: int = DEFAULT_C,
     sigma: int = DEFAULT_SIGMA,
     split_len: int | None = None,
+    use_native: bool | None = None,
 ) -> SellMatrix:
-    """Streaming CSR -> SELL-pack converter (fully vectorized, O(nnz)).
+    """Streaming CSR -> SELL-pack converter (O(nnz)).
 
     This is the product's converter; its wall-clock is a reported metric,
     mirroring the reference where pre-processing time is printed alongside
-    SpMV time (spmv.cpp:575,1009).
+    SpMV time (spmv.cpp:575,1009).  The hot path is the native C++/OpenMP
+    module (native/cvr_native.cpp) when available; the NumPy path is the
+    always-available fallback and the reference for tests.
 
     split_len: maximum segment length; rows longer than this are split into
     multiple segments (the ahead-of-time version of CVR's steal,
@@ -195,6 +198,65 @@ def sell_pack(
     heavy-tailed inputs this keeps padding in the low single-digit percent
     while adding only O(nrows/4) extra combine work; 0 disables splitting.
     """
+    if split_len is None:
+        mean_len = -(-max(csr.nnz, 1) // max(csr.shape[0], 1))
+        split_len = max(16, 4 * mean_len)
+    if use_native is None:
+        use_native = sigma == 0 and csr.vals.dtype == np.float32
+    if use_native:
+        from cvr_tpu import _native
+
+        if _native.available():
+            return _sell_pack_native(csr, C, split_len)
+    return _sell_pack_numpy(csr, C, sigma, split_len)
+
+
+def _sell_pack_native(csr: CSRMatrix, C: int, split_len: int) -> SellMatrix:
+    from cvr_tpu import _native
+
+    pt = PhaseTimer()
+    nrows = csr.shape[0]
+    with pt.phase("native_pack"):
+        (
+            vals_plane,
+            cols_plane,
+            slice_offsets,
+            slot_slice,
+            perm,
+            seg_offset,
+            lane_lengths,
+            n_splits,
+        ) = _native.sell_pack_native(
+            csr.rowptr, csr.cols, csr.vals, C, split_len
+        )
+    with pt.phase("rank"):
+        G = perm.shape[0] - int((perm == nrows).sum())
+        row_rank = np.zeros(nrows, dtype=np.int32)
+        if n_splits == 0:
+            row_rank[perm[:G].astype(np.int64)] = np.arange(G, dtype=np.int32)
+    return SellMatrix(
+        vals_plane=vals_plane,
+        cols_plane=cols_plane,
+        slice_offsets=slice_offsets,
+        slot_slice=slot_slice,
+        perm=perm,
+        seg_offset=seg_offset,
+        row_rank=row_rank,
+        lane_lengths=lane_lengths,
+        shape=csr.shape,
+        nnz=csr.nnz,
+        C=C,
+        sigma=0,
+        split_len=split_len,
+        n_splits=int(n_splits),
+        convert_time=pt.total,
+        convert_phases=dict(pt.phases),
+    )
+
+
+def _sell_pack_numpy(
+    csr: CSRMatrix, C: int, sigma: int, split_len: int
+) -> SellMatrix:
     pt = PhaseTimer()
     nrows, _ = csr.shape
     lengths = csr.row_lengths.astype(np.int64)  # [nrows]

@@ -65,12 +65,31 @@ def read_matrix_market(
     pattern_values: str = "mod13",
     dtype=np.float32,
     index_dtype=np.int32,
+    use_native: bool | None = None,
 ) -> COOMatrix:
     """Read a MatrixMarket file into a COOMatrix (0-based, unsorted).
 
     pattern_values: "mod13" (reference convention, spmv.cpp:417) or "ones"
     (CSR5 convention).  Complex matrices keep the real part.
+
+    The native mmap/parallel parser (native/cvr_native.cpp) is used for
+    plain coordinate files when available; gzip, 'array' format and
+    non-f32 dtypes take the Python path.
     """
+    path = Path(path)
+    if use_native is None:
+        use_native = (
+            path.suffix != ".gz"
+            and dtype == np.float32
+            and index_dtype == np.int32
+            and pattern_values in ("mod13", "ones")
+        )
+    if use_native:
+        try:
+            return _read_native(path, pattern_values, dtype, index_dtype)
+        except Exception:
+            pass  # fall through to the Python parser
+
     with _open_text(path) as f:
         header = f.readline()
         _, fmt, field, symmetry = _parse_header(header)
@@ -134,6 +153,24 @@ def read_matrix_market(
         vals=vals.astype(dtype),
         shape=(nrows, ncols),
     )
+
+
+def _read_native(path, pattern_values, dtype, index_dtype) -> COOMatrix:
+    """Native-parser path: raw triples from C++, symmetry expansion here."""
+    from cvr_tpu import _native
+
+    rows, cols, vals, nrows, ncols, field, symmetry = _native.mtx_read_native(
+        path, pattern_mode=0 if pattern_values == "mod13" else 1
+    )
+    if symmetry != "general":
+        off = rows != cols
+        sign = np.float32(-1.0 if symmetry == "skew-symmetric" else 1.0)
+        rows, cols = (
+            np.concatenate([rows, cols[off]]),
+            np.concatenate([cols, rows[off]]),
+        )
+        vals = np.concatenate([vals, sign * vals[off]])
+    return COOMatrix(rows=rows, cols=cols, vals=vals, shape=(nrows, ncols))
 
 
 def _read_array(f, size, field, symmetry, dtype, index_dtype) -> COOMatrix:

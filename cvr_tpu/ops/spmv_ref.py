@@ -54,23 +54,40 @@ def spmv_coo_jnp(
     return jax.ops.segment_sum(vals * x[cols], rows, num_segments=nrows)
 
 
+def spmv_row_scale(csr: CSRMatrix, x: np.ndarray) -> np.ndarray:
+    """Per-row magnitude scale s_r = sum_j |a_rj| |x_j| (float64).
+
+    The numerically meaningful error bound for a reordered f32 summation is
+    |y_r - y_ref_r| <= c * eps * s_r; raw relative error |dy|/|y| blows up
+    on rows whose true sum cancels to ~0 even though every kernel involved
+    is correct."""
+    vals = np.abs(csr.vals.astype(np.float64))
+    xg = np.abs(x.astype(np.float64))[csr.cols]
+    s = np.zeros(csr.shape[0], dtype=np.float64)
+    np.add.at(s, csr.row_ids(), vals * xg)
+    return s
+
+
 def verify(
     y: np.ndarray,
     y_ref: np.ndarray,
     rtol: float = 1e-6,
     atol: float = 1e-6,
+    row_scale: np.ndarray | None = None,
 ) -> tuple[bool, int, float]:
     """Compare a kernel result against the golden result.
 
-    Returns (ok, n_bad_rows, max_rel_err).  Mirrors the reference's
-    in-binary check that counts wrong rows (spmv.cpp:1916-1938) but with a
-    mixed relative/absolute criterion: |y - y_ref| <= atol + rtol * |y_ref|.
+    Returns (ok, n_bad_rows, max_scaled_err).  Mirrors the reference's
+    in-binary check that counts wrong rows (spmv.cpp:1916-1938).  Criterion:
+    |y - y_ref| <= atol + rtol * scale, where scale is |y_ref| by default
+    or the backward-error row scale sum|a||x| when ``row_scale`` is given
+    (use spmv_row_scale; required for signed data where row sums cancel).
     """
     y = np.asarray(y, dtype=np.float64)
     y_ref = np.asarray(y_ref, dtype=np.float64)
     err = np.abs(y - y_ref)
-    bound = atol + rtol * np.abs(y_ref)
-    bad = err > bound
-    denom = np.maximum(np.abs(y_ref), atol)
+    scale = np.abs(y_ref) if row_scale is None else np.asarray(row_scale)
+    bad = err > atol + rtol * scale
+    denom = np.maximum(scale, atol)
     max_rel = float((err / denom).max()) if err.size else 0.0
     return (not bool(bad.any()), int(bad.sum()), max_rel)

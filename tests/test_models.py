@@ -1,0 +1,123 @@
+"""Model-layer tests: PageRank, CG, power iteration vs numpy references."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from cvr_tpu.formats.coo import COOMatrix
+from cvr_tpu.formats.sell import sell_pack
+from cvr_tpu.models.pagerank import pagerank
+from cvr_tpu.models.solvers import conjugate_gradient, power_iteration
+from cvr_tpu.ops.spmv import sell_spmv_xla, to_device
+
+from conftest import make_powerlaw_coo
+
+
+def sell_matvec(coo, transpose=False):
+    if transpose:
+        coo = COOMatrix(coo.cols, coo.rows, coo.vals, (coo.shape[1], coo.shape[0]))
+    sd = to_device(sell_pack(coo.to_csr(), C=128))
+    return lambda v: sell_spmv_xla(sd, v)
+
+
+class TestPageRank:
+    def test_matches_numpy_power_method(self):
+        rng = np.random.default_rng(0)
+        n = 300
+        # Random graph with ~8 out-links/node.
+        rows = np.repeat(np.arange(n, dtype=np.int32), 8)
+        cols = rng.integers(0, n, size=8 * n).astype(np.int32)
+        vals = np.ones(8 * n, dtype=np.float32)
+        adj = COOMatrix(rows, cols, vals, (n, n)).sum_duplicates()
+
+        deg = np.zeros(n)
+        np.add.at(deg, adj.rows, adj.vals)
+        matvec_T = sell_matvec(adj, transpose=True)
+        p, iters, delta = pagerank(
+            matvec_T,
+            n,
+            damping=0.85,
+            tol=1e-10,
+            max_iters=200,
+            out_degree=jnp.asarray(deg.astype(np.float32)),
+        )
+        p = np.asarray(p)
+
+        # Dense numpy reference.
+        A = adj.to_dense().astype(np.float64)
+        P = np.divide(A.T, np.maximum(deg, 1), where=deg > 0)
+        P[:, deg == 0] = 1.0 / n
+        pr = np.full(n, 1.0 / n)
+        for _ in range(200):
+            pr_new = (1 - 0.85) / n + 0.85 * (P @ pr)
+            pr_new /= np.abs(pr_new).sum()
+            if np.abs(pr_new - pr).sum() < 1e-12:
+                break
+            pr = pr_new
+        np.testing.assert_allclose(p, pr, rtol=2e-3, atol=1e-6)
+        assert int(iters) > 1
+
+    def test_ranks_sum_to_one(self, powerlaw_coo):
+        # Unweighted version of the power-law graph (PageRank semantics).
+        unweighted = COOMatrix(
+            powerlaw_coo.rows,
+            powerlaw_coo.cols,
+            np.ones(powerlaw_coo.nnz, dtype=np.float32),
+            powerlaw_coo.shape,
+        )
+        n = unweighted.shape[0]
+        deg = np.zeros(n, dtype=np.float32)
+        np.add.at(deg, unweighted.rows, 1.0)
+        matvec_T = sell_matvec(unweighted, transpose=True)
+        p, _, _ = pagerank(
+            matvec_T, n, out_degree=jnp.asarray(deg), max_iters=50
+        )
+        assert abs(float(np.asarray(p).sum()) - 1.0) < 1e-3
+        assert (np.asarray(p) >= 0).all()
+
+
+class TestCG:
+    def test_solves_spd_system(self):
+        rng = np.random.default_rng(1)
+        n = 200
+        # SPD: diag-dominant sparse symmetric matrix.
+        import scipy.sparse as sp
+
+        m = sp.random(n, n, density=0.05, random_state=rng)
+        A = (m + m.T) * 0.5 + sp.eye(n) * 10.0
+        A = A.tocoo()
+        coo = COOMatrix(
+            A.row.astype(np.int32),
+            A.col.astype(np.int32),
+            A.data.astype(np.float32),
+            (n, n),
+        )
+        matvec = sell_matvec(coo)
+        b = rng.standard_normal(n).astype(np.float32)
+        x, iters, res = conjugate_gradient(
+            matvec, jnp.asarray(b), tol=1e-5, max_iters=500
+        )
+        x_ref = np.linalg.solve(A.toarray(), b.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-2, atol=1e-4)
+        assert float(res) < 1e-4
+
+
+class TestPowerIteration:
+    def test_dominant_eigenvalue(self):
+        rng = np.random.default_rng(2)
+        n = 150
+        import scipy.sparse as sp
+
+        m = sp.random(n, n, density=0.1, random_state=rng)
+        A = ((m + m.T) * 0.5).tocoo()  # symmetric -> real spectrum
+        coo = COOMatrix(
+            A.row.astype(np.int32),
+            A.col.astype(np.int32),
+            A.data.astype(np.float32),
+            (n, n),
+        )
+        matvec = sell_matvec(coo)
+        lam, v, iters = power_iteration(matvec, n, tol=1e-10, max_iters=2000)
+        evals = np.linalg.eigvalsh(A.toarray())
+        lam_ref = evals[np.argmax(np.abs(evals))]
+        assert abs(abs(float(lam)) - abs(lam_ref)) / abs(lam_ref) < 1e-3
