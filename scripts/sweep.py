@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark sweep runner — the run_comparison.sh analogue.
+
+Runs every implementation over a suite of matrices (local .mtx files
+and/or synthetic generators), appends results.csv / results.jsonl, and
+prints the greppable per-run contract plus a final summary table.
+
+Usage:
+  python scripts/sweep.py                      # default synthetic suite
+  python scripts/sweep.py --mtx a.mtx b.mtx    # explicit files
+  python scripts/sweep.py --iters 200 --impls sell-xla,csr
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def default_suite():
+    """Synthetic stand-ins for the CGO'18 suite domains (paper Table 2):
+    web graph, social-ish denser power-law, and an HPC band stencil."""
+    from cvr_tpu.bench.synthetic import banded_matrix, rmat_matrix
+
+    return [
+        ("rmat16-web", lambda: rmat_matrix(scale=16, edge_factor=6, seed=1)),
+        ("rmat16-social", lambda: rmat_matrix(scale=16, edge_factor=16, seed=2)),
+        ("banded-1M", lambda: banded_matrix(1 << 20, bandwidth=27)),
+    ]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mtx", nargs="*", default=None)
+    ap.add_argument("--impls", default="sell-xla,csr")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--out", default="results.csv")
+    args = ap.parse_args()
+
+    from cvr_tpu.bench.harness import run_spmv_benchmark
+    from cvr_tpu.io.mmio import read_matrix_market
+    from cvr_tpu.utils.report import append_jsonl, append_result
+
+    if args.mtx:
+        suite = [(p, (lambda p=p: read_matrix_market(p))) for p in args.mtx]
+    else:
+        suite = default_suite()
+
+    rows = []
+    for name, load in suite:
+        coo = load()
+        for impl in args.impls.split(","):
+            try:
+                r = run_spmv_benchmark(
+                    coo, name=name, impl=impl, iters=args.iters
+                )
+            except Exception as e:  # noqa: BLE001 — finish the sweep
+                print(f"[{name}/{impl}] FAILED: {type(e).__name__}: {e}")
+                continue
+            r.print_report(threads_label=impl)
+            append_result(r, args.out)
+            append_jsonl(r, Path(args.out).with_suffix(".jsonl"))
+            rows.append(r)
+
+    if rows:
+        print("\n=== summary (GFLOPS 2*nnz) ===")
+        for r in rows:
+            v = "PASS" if r.verified else ("n/a" if r.verified is None else "FAIL")
+            print(
+                f"{r.name:16s} {r.impl:12s} {r.gflops_2nnz:10.3f}  "
+                f"preproc {r.preproc_s * 1e3:9.1f} ms  verify {v}"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
