@@ -44,6 +44,9 @@ def cmd_spmv(args) -> int:
     if args.rhs > 1:
         return _spmm(args, coo)
 
+    if args.load_packed:
+        return _spmv_prepacked(args, coo)
+
     impl = {"sell": "sell-xla", "sell-pallas": "sell-pallas", "csr": "csr"}[
         args.format
     ]
@@ -65,6 +68,56 @@ def cmd_spmv(args) -> int:
         )
         print(f"packed artifact saved to {args.save_packed}")
     return 0 if r.verified in (True, None) else 1
+
+
+def _spmv_prepacked(args, coo) -> int:
+    """SpMV from a saved packed artifact — skips conversion entirely, the
+    amortization workflow (reference analogue: VHCC's binary matrix cache
+    behind -b, MatrixDataConverter.cpp:14-89)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvr_tpu.bench.harness import time_fn_iterated
+    from cvr_tpu.formats.sell import SellMatrix
+    from cvr_tpu.ops.spmv import sell_spmv_xla, to_device
+    from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
+
+    sm = SellMatrix.load(args.load_packed)
+    if sm.shape != coo.shape:
+        print("packed artifact shape mismatch")
+        return 1
+    sd = to_device(sm)
+    x = np.ones(coo.shape[1], dtype=np.float32)
+    t = time_fn_iterated(
+        sell_spmv_xla, sd, jnp.asarray(x), iters=args.iters
+    )
+    print(
+        f"[file: {args.matrix}] [packed: {args.load_packed}] "
+        f"Pre-processing Time: 0.000 ms (loaded artifact)"
+    )
+    print(
+        f"[file: {args.matrix}] SpMV Execution Time: {t * 1e3:.6f} ms"
+    )
+    print(
+        f"[file: {args.matrix}] Throughput: "
+        f"{2 * sm.nnz / t / 1e9:.3f} GFlops (2*nnz)"
+    )
+    if not args.no_verify:
+        import jax
+
+        csr = coo.to_csr()
+        y = np.asarray(jax.jit(sell_spmv_xla)(sd, jnp.asarray(x)))
+        ok, nbad, mx = verify(
+            y,
+            spmv_golden_numpy(csr, x),
+            rtol=1e-4,
+            row_scale=spmv_row_scale(csr, x),
+        )
+        print(
+            f"[file: {args.matrix}] Verification: "
+            + ("PASS" if ok else f"FAIL ({nbad} rows)")
+        )
+    return 0
 
 
 def _spmm(args, coo) -> int:
@@ -170,6 +223,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sigma", type=int, default=0, help="sort window")
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--save-packed", default=None)
+    p.add_argument("--load-packed", default=None)
     p.set_defaults(fn=cmd_spmv)
 
     p = sub.add_parser("compare", help="all impls on one matrix")
