@@ -112,31 +112,44 @@ def time_fn(fn, *args, iters: int = 100, warmup: int = 3) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def make_iterated(spmv_like, iters: int, scale: float = 1.0):
-    """Wrap y = f(A, x) so ONE jit call runs ``iters`` passes on-device.
+def make_iterated(spmv_like, iters: int, n, scale: float = 1.0):
+    """ONE jit call = ``iters`` SpMV passes as a power iteration, from a
+    PRNG-seeded start vector.
 
-    The reference's benchmark protocol runs all iterations inside the
-    compute kernel call (spmv.cpp:1016-1667: one call = Ntimes passes);
-    here a fori_loop does the same, which also amortizes the per-dispatch
-    host->TPU tunnel latency (~5-20 ms in this environment).
+    Three measurement traps in this environment, all hit and fixed:
+      * per-dispatch host->TPU tunnel latency (~5-150 ms) — batch the
+        iterations on-device like the reference does (one call = Ntimes
+        passes, spmv.cpp:1016-1667);
+      * XLA algebraic simplification + DCE — a fake dependence like
+        ``x + 0*y`` is simplified away and the whole loop dies; the loop
+        is therefore a genuine power iteration v <- scale * (A @ v);
+      * the remote-execution layer returns cached results for repeated
+        small calls (even across different scalar arguments) — the start
+        vector is generated on-device from a seed argument and per-pass
+        time is taken as the SLOPE between a short and a long loop, each
+        several seconds long, so a cache hit would be obvious.
 
-    The iterations form a genuine power iteration v <- scale * (A @ v), so
-    the loop is loop-carried and XLA can neither hoist the SpMV nor
-    dead-code-eliminate it (a `x + 0*y` style fake dependence gets
-    algebraically simplified away — measured 126x "above roofline" before
-    this fix).  ``scale`` should approximate 1/||A|| to keep v bounded;
-    the per-element constant multiply fuses into the SpMV epilogue.
-
-    Only valid for square A.  Returns a jitted fn(A, v0) -> v_iters.
+    ``scale`` ~ 1/||A||_inf keeps v bounded; it fuses into the epilogue.
+    Only valid for square A.  Returns a jitted fn(A, seed) -> v_iters.
     """
 
-    def run(A, v):
+    def run(A, seed):
+        v0 = jax.random.normal(
+            jax.random.PRNGKey(seed), n, jnp_dtype_f32()
+        )
+
         def body(_, v):
             return spmv_like(A, v) * scale
 
-        return jax.lax.fori_loop(0, iters, body, v, unroll=False)
+        return jax.lax.fori_loop(0, iters, body, v0, unroll=False)
 
     return jax.jit(run)
+
+
+def jnp_dtype_f32():
+    import jax.numpy as jnp
+
+    return jnp.float32
 
 
 def time_fn_iterated(
@@ -144,18 +157,32 @@ def time_fn_iterated(
     A,
     x,
     iters: int,
-    repeats: int = 3,
+    repeats: int = 2,
     scale: float = 1.0,
 ) -> float:
-    """Per-iteration seconds using on-device power-iteration batching."""
-    run = make_iterated(spmv_like, iters, scale=scale)
-    jax.block_until_ready(run(A, x))  # compile + warmup
-    best = float("inf")
-    for _ in range(repeats):
+    """Per-iteration seconds via the slope between a short and a long
+    on-device power-iteration loop (see make_iterated for why)."""
+    import jax.numpy as jnp
+
+    n = tuple(x.shape)  # vector [n] or multi-RHS [n, K]; square A either way
+    L1 = max(1, iters // 5)
+    L2 = iters
+    if L2 <= L1:
+        L2 = L1 + 4
+    run1 = make_iterated(spmv_like, L1, n, scale=scale)
+    run2 = make_iterated(spmv_like, L2, n, scale=scale)
+    jax.block_until_ready(run1(A, jnp.int32(0)))  # compile
+    jax.block_until_ready(run2(A, jnp.int32(0)))  # compile
+    t1 = float("inf")
+    t2 = float("inf")
+    for i in range(1, repeats + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(A, x))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        jax.block_until_ready(run1(A, jnp.int32(i)))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run2(A, jnp.int32(100 + i)))
+        t2 = min(t2, time.perf_counter() - t0)
+    return max(t2 - t1, 1e-12) / (L2 - L1)
 
 
 def run_spmv_benchmark(
