@@ -25,6 +25,7 @@ import time
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 # Per-chip HBM bandwidth (bytes/s) for roofline accounting.
@@ -141,7 +142,13 @@ def make_iterated(spmv_like, iters: int, n, scale: float = 1.0):
         def body(_, v):
             return spmv_like(A, v) * scale
 
-        return jax.lax.fori_loop(0, iters, body, v0, unroll=False)
+        v = jax.lax.fori_loop(0, iters, body, v0, unroll=False)
+        # Reduce to a scalar so forcing the result is a 4-byte fetch: in
+        # this environment jax.block_until_ready does NOT reliably force
+        # execution through the remote device tunnel — only fetching data
+        # does (measured: a 50-chained-matmul loop "completes" in 0.5 ms
+        # under block_until_ready but takes 69 ms to actually fetch).
+        return jnp.sum(v)
 
     return jax.jit(run)
 
@@ -171,16 +178,19 @@ def time_fn_iterated(
         L2 = L1 + 4
     run1 = make_iterated(spmv_like, L1, n, scale=scale)
     run2 = make_iterated(spmv_like, L2, n, scale=scale)
-    jax.block_until_ready(run1(A, jnp.int32(0)))  # compile
-    jax.block_until_ready(run2(A, jnp.int32(0)))  # compile
+    # np.asarray forces the fetch; block_until_ready alone does not
+    # reliably force execution through the remote tunnel (see
+    # make_iterated).  The result is a scalar so the fetch is 4 bytes.
+    _ = np.asarray(run1(A, jnp.int32(0)))  # compile + flush
+    _ = np.asarray(run2(A, jnp.int32(0)))  # compile + flush
     t1 = float("inf")
     t2 = float("inf")
     for i in range(1, repeats + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(run1(A, jnp.int32(i)))
+        _ = np.asarray(run1(A, jnp.int32(i)))
         t1 = min(t1, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        jax.block_until_ready(run2(A, jnp.int32(100 + i)))
+        _ = np.asarray(run2(A, jnp.int32(100 + i)))
         t2 = min(t2, time.perf_counter() - t0)
     return max(t2 - t1, 1e-12) / (L2 - L1)
 
