@@ -91,7 +91,9 @@ def get_lib():
         _i64, _i64, _i64p, _i32p, _f32p, _i32p, _i32p, _i32p, _i64p,
         _i32p, _f32p, _i32p,
     ]
-    if lib.cvr_version() != 1:
+    lib.cvr_euler_color.restype = ctypes.c_int
+    lib.cvr_euler_color.argtypes = [_i64, _i32p, _i32p, _i64, _i32, _i32p]
+    if lib.cvr_version() != 2:
         return None
     _LIB = lib
     return _LIB
@@ -235,6 +237,20 @@ def sell_pack_native(rowptr, csr_cols, csr_vals, C: int, split_len: int):
         lane_lengths,
         n_splits,
     )
+
+
+def euler_color_native(src, dst, n_tiles: int, k: int):
+    """k-edge-coloring of the k-regular bipartite tile multigraph (the
+    routing assignment for cvr_tpu.ops.route; see native euler_split)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    n_edges = src.shape[0]
+    color = np.empty(n_edges, dtype=np.int32)
+    rc = lib.cvr_euler_color(n_edges, src, dst, n_tiles, k, color)
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return color
 
 
 def available() -> bool:

@@ -399,6 +399,122 @@ int cvr_sell_fill(int64_t G, int64_t C, const int64_t* rowptr,
   return 0;
 }
 
-int cvr_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Euler edge-coloring for the static routing engine (cvr_tpu/ops/route.py)
+// ---------------------------------------------------------------------------
+// k-edge-coloring of a k-regular bipartite multigraph (k a power of two) by
+// recursive Euler splitting: all degrees are even, so the edge set
+// decomposes into closed trails; orienting each trail and assigning
+// alternate edges to the two halves splits every vertex degree exactly in
+// half (bipartite trails have even length).  log2(k) levels end in perfect
+// matchings = color classes.  König's theorem guarantees the coloring
+// exists; this constructs it in O(E log k).
+//
+// src[i] in [0, n_tiles), dst[i] in [0, n_tiles): endpoint tile ids of
+// edge i.  Every source tile and dest tile must have exactly k incident
+// edges.  color_out[i] in [0, k).
+
+// Walk state is compacted per subgraph (usrc/udst/gid arrays local to the
+// call) so the deeper recursion levels — which dominate the O(E log k)
+// total — run entirely in cache.  Single-threaded by design: the build
+// host has one core; the walk is memory-latency bound.
+static void euler_split(std::vector<int32_t>& usrc, std::vector<int32_t>& udst,
+                        std::vector<int32_t>& gid, int64_t n_tiles,
+                        int32_t kk, int32_t base, int32_t* color) {
+  const int64_t m = (int64_t)gid.size();
+  if (kk == 1) {
+    for (int64_t i = 0; i < m; i++) color[gid[(size_t)i]] = base;
+    return;
+  }
+  const int64_t nv = 2 * n_tiles;
+  std::vector<int32_t> deg((size_t)nv, 0);
+  for (int64_t i = 0; i < m; i++) {
+    deg[(size_t)usrc[(size_t)i]]++;
+    deg[(size_t)(n_tiles + udst[(size_t)i])]++;
+  }
+  std::vector<int64_t> off((size_t)nv + 1);
+  off[0] = 0;
+  for (int64_t vtx = 0; vtx < nv; vtx++)
+    off[(size_t)vtx + 1] = off[(size_t)vtx] + deg[(size_t)vtx];
+  std::vector<int32_t> adj((size_t)(2 * m));
+  {
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (int64_t i = 0; i < m; i++) {
+      adj[(size_t)cur[(size_t)usrc[(size_t)i]]++] = (int32_t)i;
+      adj[(size_t)cur[(size_t)(n_tiles + udst[(size_t)i])]++] = (int32_t)i;
+    }
+  }
+  std::vector<int64_t> ptr(off.begin(), off.end() - 1);
+  std::vector<uint8_t> used((size_t)m, 0);
+  std::vector<uint8_t> side((size_t)m, 0);
+  for (int64_t s0 = 0; s0 < m; s0++) {
+    if (used[(size_t)s0]) continue;
+    int64_t e = s0;
+    int64_t vert = usrc[(size_t)s0];  // start on the u side
+    for (;;) {
+      used[(size_t)e] = 1;
+      bool from_u = vert < n_tiles;
+      side[(size_t)e] = from_u ? 0 : 1;
+      vert = from_u ? (n_tiles + udst[(size_t)e]) : usrc[(size_t)e];
+      int64_t p = ptr[(size_t)vert];
+      int64_t end = off[(size_t)vert + 1];
+      int64_t nxt = -1;
+      while (p < end) {
+        int32_t cand = adj[(size_t)p];
+        if (!used[(size_t)cand]) {
+          nxt = cand;
+          break;
+        }
+        p++;
+      }
+      ptr[(size_t)vert] = p;
+      if (nxt < 0) break;  // trail closed (even degrees)
+      e = nxt;
+    }
+  }
+  // Partition into the two halves, compacted.
+  int64_t na = 0;
+  for (int64_t i = 0; i < m; i++) na += (side[(size_t)i] == 0);
+  std::vector<int32_t> asrc((size_t)na), adst((size_t)na), agid((size_t)na);
+  std::vector<int32_t> bsrc((size_t)(m - na)), bdst((size_t)(m - na)),
+      bgid((size_t)(m - na));
+  int64_t ia = 0, ib = 0;
+  for (int64_t i = 0; i < m; i++) {
+    if (side[(size_t)i] == 0) {
+      asrc[(size_t)ia] = usrc[(size_t)i];
+      adst[(size_t)ia] = udst[(size_t)i];
+      agid[(size_t)ia] = gid[(size_t)i];
+      ia++;
+    } else {
+      bsrc[(size_t)ib] = usrc[(size_t)i];
+      bdst[(size_t)ib] = udst[(size_t)i];
+      bgid[(size_t)ib] = gid[(size_t)i];
+      ib++;
+    }
+  }
+  usrc.clear(); usrc.shrink_to_fit();
+  udst.clear(); udst.shrink_to_fit();
+  gid.clear(); gid.shrink_to_fit();
+  euler_split(asrc, adst, agid, n_tiles, kk / 2, base, color);
+  asrc.clear(); asrc.shrink_to_fit();
+  adst.clear(); adst.shrink_to_fit();
+  agid.clear(); agid.shrink_to_fit();
+  euler_split(bsrc, bdst, bgid, n_tiles, kk / 2, base + kk / 2, color);
+}
+
+int cvr_euler_color(int64_t n_edges, const int32_t* src, const int32_t* dst,
+                    int64_t n_tiles, int32_t k, int32_t* color_out) {
+  if (k <= 0 || (k & (k - 1))) return fail("k must be a power of two");
+  if (n_edges != n_tiles * (int64_t)k) return fail("graph must be k-regular");
+  if (n_edges >= (int64_t)1 << 31) return fail("edge count exceeds int32");
+  std::vector<int32_t> usrc(src, src + n_edges);
+  std::vector<int32_t> udst(dst, dst + n_edges);
+  std::vector<int32_t> gid((size_t)n_edges);
+  for (int64_t i = 0; i < n_edges; i++) gid[(size_t)i] = (int32_t)i;
+  euler_split(usrc, udst, gid, n_tiles, k, 0, color_out);
+  return 0;
+}
+
+int cvr_version() { return 2; }
 
 }  // extern "C"
