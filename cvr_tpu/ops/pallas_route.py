@@ -1,0 +1,435 @@
+"""Pallas TPU kernels for the routed-gather SpMV pipeline.
+
+Four kernels plus two XLA relayouts execute the v3 "routed gather" SpMV
+(docs/DESIGN.md addendum):
+
+  expand        x window-gather in column-sorted order (+ fused stage 1)
+  tileperm_ss   within-tile permutation               (route stages 1/3)
+  groupperm_ss  within-logical-row permutation         (route middle stage)
+  reduce        FMA with the value planes + per-slice accumulation
+                (+ fused stage 3), full y_sorted resident in VMEM
+
+Every gather is built from the one primitive a v5e is fast at: a 128-lane
+dynamic gather (``take_along_axis(axis=1)``, one VPU op) extended to a
+1024-element window by 8 gathers + selects (measured 29 Gelem/s,
+experiments/probe_gather.py).  The reference's hot loop leans on KNL's
+hardware vector gather (`_mm512_i32logather_pd`, spmv.cpp:1227); the TPU
+VPU has none, so the format supplies window locality ahead of time.
+
+Layouts — the load-bearing design decision
+------------------------------------------
+Naive per-tile loops (fori + dynamic (8,128) slices) measured 6-100x below
+the probe rates: Mosaic serializes small dynamically-addressed vector ops.
+All streams therefore use the **sublane-split** layout
+
+    stream  (8, T, 128):  logical element (tile a, pos p) at [p>>7, a, p&127]
+
+so that candidate ``s`` of the 8-way window decomposition is the *static*
+slab ``ref[s]`` for every tile at once, and each gather/select runs at full
+block width (T_chunk, 128).  The middle stage uses
+
+    middle  (K, 1024, 128):  element (tile a = k*128+l, color q) at [k,q,l]
+
+so its K-way decomposition is likewise static slabs.  The stream<->middle
+conversions are XLA relayouts (transposes) between the Pallas calls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tiles per grid step for stream-layout kernels (block = (8, TC, 128)).
+TC = 512
+# Q rows per grid step in the middle kernel (block = (K, QC, 128)).
+QC = 128
+# Plane rows (tiles) per grid step in the reduce kernel.
+CH = 128
+# Tiles per grid step in the expand kernel (per-tile windows force a loop).
+TB = 256
+
+
+def use_interpret() -> bool:
+    """Interpret mode off-TPU (CPU tests); compiled on tpu/axon backends."""
+    try:
+        dev = jax.devices()[0]
+        return "tpu" not in getattr(dev, "device_kind", "").lower()
+    except Exception:  # noqa: BLE001
+        return True
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# tileperm_ss: out[i, a, l] = data[idx>>7, a, idx&127], idx = idx_[i, a, l]
+# ---------------------------------------------------------------------------
+
+
+def _tileperm_kernel(d_ref, i_ref, o_ref):
+    for i in range(8):
+        idx = i_ref[i].astype(jnp.int32)
+        lo = jnp.bitwise_and(idx, 127)
+        hi = jax.lax.shift_right_logical(idx, 7)
+        acc = jnp.zeros(lo.shape, jnp.float32)
+        for s in range(8):
+            cand = jnp.take_along_axis(d_ref[s], lo, axis=1)
+            acc = jnp.where(hi == s, cand, acc)
+        o_ref[i] = acc
+
+
+@functools.lru_cache(maxsize=None)
+def _tileperm_call(T: int, interpret: bool):
+    grid = T // TC if T % TC == 0 else -(-T // TC)
+
+    def fn(data, idx):
+        return pl.pallas_call(
+            _tileperm_kernel,
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((8, grid * TC, 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(
+                    (8, TC, 128),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, TC, 128),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (8, TC, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(data, idx)
+
+    return jax.jit(fn)
+
+
+def tileperm_ss(data: jax.Array, idx: jax.Array) -> jax.Array:
+    """Within-tile permutation in stream layout.
+
+    data (8, T, 128) f32; idx (8, T, 128) int16 in [0, 1024).
+    """
+    T = data.shape[1]
+    Tp = _round_up(T, TC)
+    if Tp != T:
+        data = jnp.pad(data, ((0, 0), (0, Tp - T), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, Tp - T), (0, 0)))
+    out = _tileperm_call(Tp, use_interpret())(data, idx)
+    return out[:, :T]
+
+
+# ---------------------------------------------------------------------------
+# groupperm_ss: out[k, q, l] = data[idx>>7, q, idx&127], idx = idx_[k, q, l]
+# (within-logical-row permutation over T = K*128 tiles; the middle stage)
+# ---------------------------------------------------------------------------
+
+
+def _groupperm_kernel(K: int, d_ref, i_ref, o_ref):
+    # Both loops static: dynamic-leading-axis reads measured ~9x slower
+    # (Mosaic materializes the slab per access); K*K static gather+select
+    # pairs at (QC,128) width run at VPU rate.
+    for k in range(K):
+        idx = i_ref[k].astype(jnp.int32)
+        lo = jnp.bitwise_and(idx, 127)
+        hi = jax.lax.shift_right_logical(idx, 7)
+        acc = jnp.zeros(lo.shape, jnp.float32)
+        for s in range(K):
+            cand = jnp.take_along_axis(d_ref[s], lo, axis=1)
+            acc = jnp.where(hi == s, cand, acc)
+        o_ref[k] = acc
+
+
+@functools.lru_cache(maxsize=None)
+def _groupperm_call(K: int, interpret: bool):
+    grid = 1024 // QC
+
+    def fn(data, idx):
+        return pl.pallas_call(
+            functools.partial(_groupperm_kernel, K),
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((K, 1024, 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(
+                    (K, QC, 128),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (K, QC, 128),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (K, QC, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(data, idx)
+
+    return jax.jit(fn)
+
+
+def groupperm_ss(data: jax.Array, idx: jax.Array) -> jax.Array:
+    """data (K, 1024, 128) f32, idx (K, 1024, 128) int16 in [0, K*128)."""
+    K = data.shape[0]
+    return _groupperm_call(K, use_interpret())(data, idx)
+
+
+# ---------------------------------------------------------------------------
+# expand: per-tile x window gather (the only data-dependent-window kernel)
+# ---------------------------------------------------------------------------
+
+
+def _expand_kernel(w8_ref, li_ref, x2_ref, o_ref):
+    blk = pl.program_id(0)
+
+    def tile(t, _):
+        base = w8_ref[blk * TB + t]
+        idx = li_ref[:, t, :].astype(jnp.int32)
+        lo = jnp.bitwise_and(idx, 127)
+        hi = jax.lax.shift_right_logical(idx, 7)
+        w = x2_ref[pl.ds(base, 8), :]  # (8,128) window slab
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for s in range(8):
+            op = jnp.broadcast_to(w[s : s + 1, :], (8, 128))
+            cand = jnp.take_along_axis(op, lo, axis=1)
+            acc = jnp.where(hi == s, cand, acc)
+        o_ref[:, t, :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, TB, tile, 0, unroll=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_call(T: int, H: int, interpret: bool):
+    grid = T // TB
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, TB, 128), lambda i, w8: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (H, 128), lambda i, w8: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, TB, 128), lambda i, w8: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    def fn(w8, li, x2):
+        return pl.pallas_call(
+            _expand_kernel,
+            grid_spec=spec,
+            out_shape=jax.ShapeDtypeStruct((8, T, 128), jnp.float32),
+            interpret=interpret,
+        )(w8, li, x2)
+
+    return jax.jit(fn)
+
+
+def expand(w8: jax.Array, li: jax.Array, x2: jax.Array) -> jax.Array:
+    """Windowed gather producing the expanded x stream (+ fused stage 1).
+
+    w8: (T,) int32 window bases (window = x2[w8[t] : w8[t]+8]);
+    li: (8, T, 128) int16 in [0, 1024) — in-window offsets (stage-1
+        composed), stream layout;
+    x2: (H, 128) f32 — x zero-padded so that w8[t]+8 <= H always holds.
+    Returns g1 (8, T, 128).
+    """
+    T = w8.shape[0]
+    Tp = _round_up(T, TB)
+    if Tp != T:
+        w8 = jnp.pad(w8, (0, Tp - T))
+        li = jnp.pad(li, ((0, 0), (0, Tp - T), (0, 0)))
+    out = _expand_call(Tp, x2.shape[0], use_interpret())(w8, li, x2)
+    return out[:, :T]
+
+
+# ---------------------------------------------------------------------------
+# reduce: y_sorted[slice] = sum over its plane rows of vals * gx(+stage 3)
+# ---------------------------------------------------------------------------
+
+
+def _reduce_kernel(emit_ref, v_ref, g_ref, p3_ref, y_ref, acc_ref, p_ref):
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Stage-3 gather + FMA at full block width, staged through scratch.
+    for i in range(8):
+        idx = p3_ref[i].astype(jnp.int32)
+        lo = jnp.bitwise_and(idx, 127)
+        hi = jax.lax.shift_right_logical(idx, 7)
+        acc = jnp.zeros(lo.shape, jnp.float32)
+        for s in range(8):
+            cand = jnp.take_along_axis(g_ref[s], lo, axis=1)
+            acc = jnp.where(hi == s, cand, acc)
+        p_ref[i] = acc * v_ref[i]
+
+    # Sequential per-tile accumulation with slice-end emissions.
+    def row(r, _):
+        acc_ref[...] += p_ref[:, r, :]
+        dest = emit_ref[blk * CH + r]
+
+        @pl.when(dest >= 0)
+        def _():
+            y_ref[:, pl.ds(dest, 1), :] = acc_ref[...][:, None, :]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        return 0
+
+    jax.lax.fori_loop(0, CH, row, 0, unroll=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _reduce_call(S: int, nslices: int, interpret: bool):
+    grid = S // CH
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, e: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, e: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, e: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, nslices, 128), lambda i, e: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, CH, 128), jnp.float32),
+        ],
+    )
+
+    def fn(emit, vals, gx, p3):
+        return pl.pallas_call(
+            _reduce_kernel,
+            grid_spec=spec,
+            out_shape=jax.ShapeDtypeStruct((8, nslices, 128), jnp.float32),
+            interpret=interpret,
+        )(emit, vals, gx, p3)
+
+    return jax.jit(fn)
+
+
+def reduce_slices(
+    emit: jax.Array,
+    vals: jax.Array,
+    gx: jax.Array,
+    p3: jax.Array,
+    nslices: int,
+) -> jax.Array:
+    """Per-slice tile sums with fused stage-3 gather.
+
+    emit: (S_pad,) int32 — slice id if that plane row ends its slice,
+          else -1 (padding rows -1; S_pad must be a multiple of CH);
+    vals/gx: (8, S_pad, 128) f32 stream layout; p3: int16 same shape.
+    Returns y_sorted (8, nslices, 128) — slice sigma's 1024 lane sums at
+    [:, sigma, :].
+    """
+    S_pad = emit.shape[0]
+    if S_pad % CH:
+        raise ValueError("emit length must be padded to a multiple of CH")
+    return _reduce_call(S_pad, nslices, use_interpret())(emit, vals, gx, p3)
+
+
+# ---------------------------------------------------------------------------
+# Layout conversions + full route executor
+# ---------------------------------------------------------------------------
+
+
+def flat_to_stream(v: jax.Array, T: int) -> jax.Array:
+    """(T*1024,) -> (8, T, 128) stream layout."""
+    return jnp.transpose(v.reshape(T, 8, 128), (1, 0, 2))
+
+
+def stream_to_flat(g: jax.Array) -> jax.Array:
+    """(8, T, 128) -> (T*1024,)."""
+    return jnp.transpose(g, (1, 0, 2)).reshape(-1)
+
+
+def stream_to_middle(g: jax.Array) -> jax.Array:
+    """(8, T, 128) [qh, a, ql] -> (K, 1024, 128) [k, q, l], T = K*128."""
+    _, T, _ = g.shape
+    K = T // 128
+    return jnp.transpose(g.reshape(8, K, 128, 128), (1, 0, 3, 2)).reshape(
+        K, 1024, 128
+    )
+
+
+def middle_to_stream(m: jax.Array) -> jax.Array:
+    """(K, 1024, 128) [k, q, l] -> (8, T, 128) [qh, a, ql]."""
+    K = m.shape[0]
+    return jnp.transpose(
+        m.reshape(K, 8, 128, 128), (1, 0, 3, 2)
+    ).reshape(8, K * 128, 128)
+
+
+def route_arrays(plan) -> dict:
+    """Device-ready sublane-split int16 index planes for a RoutePlan."""
+    T = plan.n_tiles
+    Tp = _round_up(T, 128)
+    K = Tp // 128
+    # s1 (T, 1024) -> stream layout (8, Tp, 128); padded tiles: identity.
+    s1 = np.tile(np.arange(1024, dtype=np.int16), (Tp, 1)).reshape(Tp, 1024)
+    s1[:T] = plan.s1.astype(np.int16)
+    s1_ss = np.ascontiguousarray(
+        s1.reshape(Tp, 8, 128).transpose(1, 0, 2)
+    )
+    # mid (1024, T) -> middle layout (K, 1024, 128); padded columns:
+    # identity (gather from own tile index).
+    mid = np.tile(np.arange(Tp, dtype=np.int16), (1024, 1))
+    mid[:, :T] = plan.mid.astype(np.int16)
+    mid_ss = np.ascontiguousarray(
+        mid.reshape(1024, K, 128).transpose(1, 0, 2)
+    )
+    s3 = np.tile(np.arange(1024, dtype=np.int16), (Tp, 1)).reshape(Tp, 1024)
+    s3[:T] = plan.s3.astype(np.int16)
+    s3_ss = np.ascontiguousarray(
+        s3.reshape(Tp, 8, 128).transpose(1, 0, 2)
+    )
+    return {
+        "s1": s1_ss,
+        "mid": mid_ss,
+        "s3": s3_ss,
+        "T": T,
+        "Tp": Tp,
+        "n": plan.n,
+    }
+
+
+def apply_route_tpu(ra: dict, v: jax.Array) -> jax.Array:
+    """Execute a compiled route on device: out = v[perm] (flat)."""
+    T, Tp = ra["T"], ra["Tp"]
+    n_pad = Tp * 1024 - v.shape[0]
+    g = flat_to_stream(jnp.pad(v, (0, n_pad)) if n_pad else v, Tp)
+    g1 = tileperm_ss(g, ra["s1"])
+    g2 = middle_to_stream(groupperm_ss(stream_to_middle(g1), ra["mid"]))
+    g3 = tileperm_ss(g2, ra["s3"])
+    return stream_to_flat(g3)[: ra["n"]]
