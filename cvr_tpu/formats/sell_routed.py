@@ -1,0 +1,248 @@
+"""SELL-R: the SELL-pack format extended with a compiled gather route.
+
+This is the ahead-of-time artifact behind the v3 routed-gather SpMV
+(docs/DESIGN.md addendum).  On top of the SELL planes (cvr_tpu.formats.sell)
+it compiles, at pack time:
+
+  * an **expand schedule** — the plane's column ids sorted, cut into
+    1024-element tiles whose columns span at most 1024 consecutive columns
+    (so the x-gather is a window gather a v5e can do at vector rate), plus
+    filler slots where a window boundary forces a cut;
+  * a **Clos route** (cvr_tpu.ops.route) carrying each expanded x value
+    from its column-sorted stream position to its SELL plane position —
+    stage 1 composed into the expand index plane, stage 3 composed into
+    the reduce kernel's plane, the middle stage standing alone;
+  * a **y-route** carrying per-slice lane sums back to natural row order,
+    with split-row extra segments combined by a small scatter-add.
+
+The reference achieves the same end — a kernel whose inner loop is pure
+streaming — with a runtime tracker machine feeding AVX-512 lanes
+(pre_processing, spmv.cpp:565-1014).  Here the machine runs entirely at
+pack time and emits static index planes; the TPU kernels have zero
+data-dependent control flow.
+
+Constraints of the routed path (fall back to the XLA path otherwise):
+  * C == 1024 (one VPU tile per slot);
+  * route tiles T <= 32767 (int16 index planes) => ~33M stored nonzeros;
+  * ncols <= ~24M (x must fit VMEM as an (H, 128) table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cvr_tpu.formats.sell import SellMatrix
+from cvr_tpu.ops.route import plan_route
+from cvr_tpu.utils.timing import PhaseTimer
+
+TILE = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class SellRouted:
+    """Host-side routed-SpMV artifact (NumPy planes; see to_device)."""
+
+    # expand schedule
+    w8: np.ndarray  # (T,) int32 aligned window indices (x window = rows [8*w8, 8*w8+8))
+    li: np.ndarray  # (8, T, 128) int16 in-window offsets (stage-1 fused)
+    # middle route stage
+    mid: np.ndarray  # (K, 1024, 128) int16
+    # reduce pass
+    vals_ss: np.ndarray  # (8, S_pad, 128) f32 value planes, stream layout
+    p3: np.ndarray  # (8, S_pad, 128) int16 stage-3 plane
+    emit: np.ndarray  # (S_pad,) int32 slice id on slice-end rows, else -1
+    # y combine
+    y_ra: dict  # route_arrays for the y-route (y_sorted -> natural rows)
+    extra_src: np.ndarray  # (n_extra,) int64 y_sorted flat positions
+    extra_row: np.ndarray  # (n_extra,) int64 natural rows to add into
+    # geometry
+    shape: tuple[int, int]
+    nnz: int
+    T: int  # route tiles (multiple of 128)
+    S: int  # plane rows (slots)
+    S_pad: int
+    nslices: int
+    H: int  # rows of the x table (incl. 8 slack rows)
+    n_fillers: int
+    convert_time: float = 0.0
+    convert_phases: dict | None = None
+
+
+def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
+    """CSR -> SELL-R in one step (the routed path's converter entry).
+
+    split_len default: ``max(256, 16 * mean_row_len)`` — much larger than
+    the SELL default (4x mean) because (a) global length sorting already
+    grades slice widths, so padding from long rows is small, and (b) every
+    extra segment costs a scalar-rate scatter-add in the y-combine; only
+    extreme hub rows (social-graph celebrities) are worth splitting.
+    """
+    from cvr_tpu.formats.sell import sell_pack
+
+    if split_len is None:
+        mean_len = -(-max(csr.nnz, 1) // max(csr.shape[0], 1))
+        split_len = max(256, 16 * mean_len)
+    sm = sell_pack(csr, C=TILE, split_len=split_len)
+    sr = pack_routed(sm)
+    sr.convert_time += sm.convert_time
+    sr.convert_phases = {**(sm.convert_phases or {}), **sr.convert_phases}
+    return sr
+
+
+def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
+    """Compile a SellMatrix (C=1024) into the routed-SpMV artifact."""
+    if sm.C != TILE:
+        raise ValueError("routed path requires C == 1024")
+    pt = PhaseTimer()
+    S = sm.n_slots
+    nrows, ncols = sm.shape
+    N_plane = S * TILE
+    nslices = sm.nslices
+
+    with pt.phase("expand_tiles"):
+        cols_flat = sm.cols_plane.reshape(-1).astype(np.int64)
+        order = np.argsort(cols_flat, kind="stable")  # source stream
+        sc = cols_flat[order]
+        # Greedy tile cutting: <=1024 elements, columns within one aligned
+        # 1024-wide window ([w8*128, w8*128 + 1024)).
+        starts = []
+        bases = []
+        t0 = 0
+        while t0 < N_plane:
+            w10 = int(sc[t0]) >> 10  # aligned 1024-column window
+            end_w = int(
+                np.searchsorted(sc, (w10 + 1) * 1024, side="left")
+            )
+            end = min(t0 + TILE, end_w)
+            starts.append(t0)
+            bases.append(w10)
+            t0 = end
+        starts.append(N_plane)
+        T_src = len(bases)
+
+    with pt.phase("route_plan"):
+        T = _round_up(max(T_src, S), 128)
+        if T > 32767:
+            raise ValueError(
+                f"matrix too large for int16 route planes (T={T})"
+            )
+        # source stream arrays, filler slots = -1
+        src_pos = np.full(T * TILE, -1, dtype=np.int64)
+        li_flat = np.zeros(T * TILE, dtype=np.int16)
+        w8_arr = np.zeros(T, dtype=np.int32)
+        for t in range(T_src):
+            s0, s1 = starts[t], starts[t + 1]
+            n = s1 - s0
+            base = t * TILE
+            src_pos[base : base + n] = order[s0:s1]
+            li_flat[base : base + n] = (
+                sc[s0:s1] - bases[t] * 1024
+            ).astype(np.int16)
+            if n < TILE:  # fillers stay in-window (offset of last col)
+                li_flat[base + n : base + TILE] = li_flat[base + n - 1]
+            w8_arr[t] = bases[t]
+        # perm: dest position (plane) -> source stream position
+        perm = np.empty(T * TILE, dtype=np.int64)
+        stream_of_plane = np.empty(N_plane, dtype=np.int64)
+        real = src_pos >= 0
+        stream_of_plane[src_pos[real]] = np.flatnonzero(real)
+        perm[:N_plane] = stream_of_plane
+        trash_src = np.flatnonzero(~real)
+        perm[N_plane:] = trash_src[: T * TILE - N_plane]
+        assert perm[N_plane:].shape[0] == trash_src.shape[0], (
+            "filler/trash count mismatch"
+        )
+        plan = plan_route(perm)
+
+    with pt.phase("fuse_planes"):
+        # stage 1 fused into the expand plane: element emitted at color q
+        # of tile a reads li at the pre-stage-1 offset s1[a, q].
+        s1 = plan.s1.astype(np.int64)  # (T, 1024)
+        li_fused = np.take_along_axis(
+            li_flat.reshape(T, TILE), s1, axis=1
+        )
+        li_ss = np.ascontiguousarray(
+            li_fused.reshape(T, 8, 128).transpose(1, 0, 2)
+        )
+        K = T // 128
+        mid = np.ascontiguousarray(
+            plan.mid.astype(np.int16).reshape(1024, K, 128).transpose(
+                1, 0, 2
+            )
+        )
+        # stage 3 plane restricted to the real dest tiles (plane rows),
+        # padded to the reduce chunk.
+        S_pad = _round_up(S, ch)
+        p3 = np.zeros((S_pad, TILE), dtype=np.int16)
+        p3[:S] = plan.s3[:S].astype(np.int16)
+        p3_ss = np.ascontiguousarray(
+            p3.reshape(S_pad, 8, 128).transpose(1, 0, 2)
+        )
+
+    with pt.phase("reduce_aux"):
+        vals = np.zeros((S_pad, TILE), dtype=np.float32)
+        vals[:S] = sm.vals_plane.astype(np.float32)
+        vals_ss = np.ascontiguousarray(
+            vals.reshape(S_pad, 8, 128).transpose(1, 0, 2)
+        )
+        emit = np.full(S_pad, -1, dtype=np.int32)
+        ends = sm.slice_offsets[1:].astype(np.int64)  # first row AFTER
+        widths = np.diff(sm.slice_offsets.astype(np.int64))
+        nonempty = widths > 0
+        emit[ends[nonempty] - 1] = np.flatnonzero(nonempty).astype(
+            np.int32
+        )
+
+    with pt.phase("y_route"):
+        # y_sorted flat position of segment at sorted position g is g.
+        G = nslices * TILE
+        seg_row = sm.perm.astype(np.int64)  # sorted pos -> row (or nrows)
+        seg_off = sm.seg_offset.astype(np.int64)
+        is_first = (seg_off == 0) & (seg_row < nrows)
+        first_pos = np.full(nrows, -1, dtype=np.int64)
+        first_pos[seg_row[is_first]] = np.flatnonzero(is_first)
+        if (first_pos < 0).any():
+            raise AssertionError("row without a first segment")
+        Ty = _round_up(max(-(-nrows // TILE), nslices), 128)
+        ypern = np.empty(Ty * TILE, dtype=np.int64)
+        ypern[:nrows] = first_pos
+        # trash: all remaining source positions (extra segments, padding
+        # lanes, positions beyond G)
+        used = np.zeros(Ty * TILE, dtype=bool)
+        used[first_pos] = True
+        ypern[nrows:] = np.flatnonzero(~used)[: Ty * TILE - nrows]
+        from cvr_tpu.ops.pallas_route import route_arrays
+
+        y_ra = route_arrays(plan_route(ypern, n=nrows))
+        extra = (~is_first) & (seg_row < nrows)
+        extra_src = np.flatnonzero(extra).astype(np.int64)
+        extra_row = seg_row[extra]
+
+    H = _round_up(_round_up(ncols, 128) // 128 + 8, 8)
+    return SellRouted(
+        w8=w8_arr,
+        li=li_ss,
+        mid=mid,
+        vals_ss=vals_ss,
+        p3=p3_ss,
+        emit=emit,
+        y_ra=y_ra,
+        extra_src=extra_src,
+        extra_row=extra_row,
+        shape=sm.shape,
+        nnz=sm.nnz,
+        T=T,
+        S=S,
+        S_pad=S_pad,
+        nslices=nslices,
+        H=H,
+        n_fillers=int((~real).sum()),
+        convert_time=pt.total,
+        convert_phases=dict(pt.phases),
+    )

@@ -46,8 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tiles per grid step for stream-layout kernels (block = (8, TC, 128)).
 TC = 512
-# Q rows per grid step in the middle kernel (block = (K, QC, 128)).
-QC = 128
+# Q rows per grid step in the middle kernel (block = (K, QC, 128));
+# chosen per-K so in+idx+out blocks (double-buffered) fit VMEM.
+def _qc_for(K: int) -> int:
+    budget = 6 * 1024 * 1024  # bytes for single-buffered in+idx+out
+    for qc in (128, 64, 32, 16, 8):
+        if K * qc * 128 * (4 + 2 + 4) <= budget:
+            return qc
+    return 8
 # Plane rows (tiles) per grid step in the reduce kernel.
 CH = 128
 # Tiles per grid step in the expand kernel (per-tile windows force a loop).
@@ -151,6 +157,7 @@ def _groupperm_kernel(K: int, d_ref, i_ref, o_ref):
 
 @functools.lru_cache(maxsize=None)
 def _groupperm_call(K: int, interpret: bool):
+    QC = _qc_for(K)
     grid = 1024 // QC
 
     def fn(data, idx):
@@ -190,24 +197,33 @@ def groupperm_ss(data: jax.Array, idx: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _expand_kernel(w8_ref, li_ref, x2_ref, o_ref):
+def _expand_kernel(w10_ref, li_ref, x2_ref, o_ref):
+    # Mosaic requires dynamic tile-axis indices to be provably 8-aligned:
+    # tiles are processed in groups of 8 (aligned loads/stores) and the x
+    # window base is stored as a 1024-column window INDEX (w10), so
+    # base = w10*8 is provably a multiple of 8 rows of the (H,128) table.
     blk = pl.program_id(0)
 
-    def tile(t, _):
-        base = w8_ref[blk * TB + t]
-        idx = li_ref[:, t, :].astype(jnp.int32)
-        lo = jnp.bitwise_and(idx, 127)
-        hi = jax.lax.shift_right_logical(idx, 7)
-        w = x2_ref[pl.ds(base, 8), :]  # (8,128) window slab
-        acc = jnp.zeros((8, 128), jnp.float32)
-        for s in range(8):
-            op = jnp.broadcast_to(w[s : s + 1, :], (8, 128))
-            cand = jnp.take_along_axis(op, lo, axis=1)
-            acc = jnp.where(hi == s, cand, acc)
-        o_ref[:, t, :] = acc
+    def tgroup(tg, _):
+        t8 = pl.multiple_of(tg * 8, 8)
+        li8 = li_ref[:, pl.ds(t8, 8), :].astype(jnp.int32)  # (8,8,128)
+        outs = []
+        for j in range(8):
+            idx = li8[:, j, :]
+            lo = jnp.bitwise_and(idx, 127)
+            hi = jax.lax.shift_right_logical(idx, 7)
+            base = pl.multiple_of(w10_ref[blk * TB + tg * 8 + j] * 8, 8)
+            w = x2_ref[pl.ds(base, 8), :]  # (8,128) window slab
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for s in range(8):
+                op = jnp.broadcast_to(w[s : s + 1, :], (8, 128))
+                cand = jnp.take_along_axis(op, lo, axis=1)
+                acc = jnp.where(hi == s, cand, acc)
+            outs.append(acc)
+        o_ref[:, pl.ds(t8, 8), :] = jnp.stack(outs, axis=1)
         return 0
 
-    jax.lax.fori_loop(0, TB, tile, 0, unroll=False)
+    jax.lax.fori_loop(0, TB // 8, tgroup, 0, unroll=False)
 
 
 @functools.lru_cache(maxsize=None)
@@ -218,44 +234,45 @@ def _expand_call(T: int, H: int, interpret: bool):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (8, TB, 128), lambda i, w8: (0, i, 0),
+                (8, TB, 128), lambda i, w10: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (H, 128), lambda i, w8: (0, 0), memory_space=pltpu.VMEM
+                (H, 128), lambda i, w10: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, TB, 128), lambda i, w8: (0, i, 0), memory_space=pltpu.VMEM
+            (8, TB, 128), lambda i, w10: (0, i, 0), memory_space=pltpu.VMEM
         ),
     )
 
-    def fn(w8, li, x2):
+    def fn(w10, li, x2):
         return pl.pallas_call(
             _expand_kernel,
             grid_spec=spec,
             out_shape=jax.ShapeDtypeStruct((8, T, 128), jnp.float32),
             interpret=interpret,
-        )(w8, li, x2)
+        )(w10, li, x2)
 
     return jax.jit(fn)
 
 
-def expand(w8: jax.Array, li: jax.Array, x2: jax.Array) -> jax.Array:
+def expand(w10: jax.Array, li: jax.Array, x2: jax.Array) -> jax.Array:
     """Windowed gather producing the expanded x stream (+ fused stage 1).
 
-    w8: (T,) int32 window bases (window = x2[w8[t] : w8[t]+8]);
-    li: (8, T, 128) int16 in [0, 1024) — in-window offsets (stage-1
-        composed), stream layout;
-    x2: (H, 128) f32 — x zero-padded so that w8[t]+8 <= H always holds.
+    w10: (T,) int32 aligned window indices (window = x2[8*w10 : 8*w10+8],
+         i.e. columns [1024*w10, 1024*(w10+1)));
+    li:  (8, T, 128) int16 in [0, 1024) — in-window offsets (stage-1
+         composed), stream layout;
+    x2:  (H, 128) f32 — x zero-padded; H a multiple of 8.
     Returns g1 (8, T, 128).
     """
-    T = w8.shape[0]
+    T = w10.shape[0]
     Tp = _round_up(T, TB)
     if Tp != T:
-        w8 = jnp.pad(w8, (0, Tp - T))
+        w10 = jnp.pad(w10, (0, Tp - T))
         li = jnp.pad(li, ((0, 0), (0, Tp - T), (0, 0)))
-    out = _expand_call(Tp, x2.shape[0], use_interpret())(w8, li, x2)
+    out = _expand_call(Tp, x2.shape[0], use_interpret())(w10, li, x2)
     return out[:, :T]
 
 
@@ -270,6 +287,8 @@ def _reduce_kernel(emit_ref, v_ref, g_ref, p3_ref, y_ref, acc_ref, p_ref):
     @pl.when(blk == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        # zero-width slices (all-empty rows) never emit: pre-zero y.
+        y_ref[...] = jnp.zeros_like(y_ref)
 
     # Stage-3 gather + FMA at full block width, staged through scratch.
     for i in range(8):
@@ -282,23 +301,41 @@ def _reduce_kernel(emit_ref, v_ref, g_ref, p3_ref, y_ref, acc_ref, p_ref):
             acc = jnp.where(hi == s, cand, acc)
         p_ref[i] = acc * v_ref[i]
 
-    # Sequential per-tile accumulation with slice-end emissions.
-    def row(r, _):
-        acc_ref[...] += p_ref[:, r, :]
-        dest = emit_ref[blk * CH + r]
+    # Sequential per-tile accumulation with slice-end emissions.  Tiles
+    # are walked in aligned groups of 8; an emission rewrites the aligned
+    # 8-slice slab containing its destination with a lane-select (Mosaic
+    # rejects unaligned dynamic stores).
+    def rgroup(rg, _):
+        r8 = pl.multiple_of(rg * 8, 8)
+        p8 = p_ref[:, pl.ds(r8, 8), :]
+        for j in range(8):
+            acc_ref[...] += p8[:, j, :]
+            dest = emit_ref[blk * CH + rg * 8 + j]
 
-        @pl.when(dest >= 0)
-        def _():
-            y_ref[:, pl.ds(dest, 1), :] = acc_ref[...][:, None, :]
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+            @pl.when(dest >= 0)
+            def _():
+                d8 = pl.multiple_of(
+                    jax.lax.shift_right_logical(dest, 3) * 8, 8
+                )
+                cur = y_ref[:, pl.ds(d8, 8), :]
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 8, 128), 1)
+                    == (dest - d8)[None, None, None]
+                )
+                y_ref[:, pl.ds(d8, 8), :] = jnp.where(
+                    sel, acc_ref[...][:, None, :], cur
+                )
+                acc_ref[...] = jnp.zeros_like(acc_ref)
 
         return 0
 
-    jax.lax.fori_loop(0, CH, row, 0, unroll=False)
+    jax.lax.fori_loop(0, CH // 8, rgroup, 0, unroll=False)
 
 
 @functools.lru_cache(maxsize=None)
 def _reduce_call(S: int, nslices: int, interpret: bool):
+    # nslices here is already padded to a multiple of 8 (aligned emission
+    # slabs need y rows [d8, d8+8) to exist).
     grid = S // CH
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -356,7 +393,9 @@ def reduce_slices(
     S_pad = emit.shape[0]
     if S_pad % CH:
         raise ValueError("emit length must be padded to a multiple of CH")
-    return _reduce_call(S_pad, nslices, use_interpret())(emit, vals, gx, p3)
+    nsp = _round_up(max(nslices, 8), 8)
+    out = _reduce_call(S_pad, nsp, use_interpret())(emit, vals, gx, p3)
+    return out[:, :nslices]
 
 
 # ---------------------------------------------------------------------------

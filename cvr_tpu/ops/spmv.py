@@ -151,12 +151,25 @@ def _jitted_sell_spmm():
 
 
 def spmv(A, x, impl: str = "auto"):
-    """y = A @ x.  A may be a SellMatrix / SellDevice / CSRMatrix.
+    """y = A @ x.  A may be a SellRouted / SellMatrix / SellDevice /
+    CSRMatrix.
 
-    impl: "auto" | "xla" | "pallas".
+    impl: "auto" | "xla" | "pallas" | "routed".  The routed path (Pallas
+    kernels + compiled gather route, cvr_tpu.ops.spmv_routed) is used
+    automatically for SellRouted inputs.
     """
+    from cvr_tpu.formats.sell_routed import SellRouted
     from cvr_tpu.ops import pallas_spmv
+    from cvr_tpu.ops.spmv_routed import (
+        SellRoutedDevice,
+        _jitted_spmv_routed,
+        to_device_routed,
+    )
 
+    if isinstance(A, SellRouted):
+        A = to_device_routed(A)
+    if isinstance(A, SellRoutedDevice):
+        return _jitted_spmv_routed()(A, jnp.asarray(x))
     if isinstance(A, SellMatrix):
         A = to_device(A)
     x = jnp.asarray(x)

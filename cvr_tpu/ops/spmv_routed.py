@@ -1,0 +1,135 @@
+"""y = A @ x on the SELL-R artifact: the v3 routed-gather SpMV op.
+
+Pipeline (all static control flow; see cvr_tpu/formats/sell_routed.py and
+docs/DESIGN.md):
+
+    x2   = pad(x) as (H, 128)                      [VMEM-resident table]
+    g1   = expand(w8, li, x2)                       window gather + stage 1
+    m    = stream_to_middle(g1)                     XLA relayout
+    m2   = groupperm_ss(m, mid)                     route middle stage
+    gxr  = middle_to_stream(m2)[:, :S_pad]          XLA relayout
+    ys   = reduce_slices(emit, vals, gxr, p3)       FMA + slice sums + st.3
+    y    = route(y_ra, ys) ; scatter-add split-row extras ; [:nrows]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvr_tpu.formats.sell_routed import SellRouted
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "w8",
+        "li",
+        "mid",
+        "vals_ss",
+        "p3",
+        "emit",
+        "y_s1",
+        "y_mid",
+        "y_s3",
+        "extra_src",
+        "extra_row",
+    ],
+    meta_fields=["shape", "T", "S", "S_pad", "nslices", "H", "y_T", "y_Tp"],
+)
+@dataclasses.dataclass(frozen=True)
+class SellRoutedDevice:
+    w8: jax.Array
+    li: jax.Array
+    mid: jax.Array
+    vals_ss: jax.Array
+    p3: jax.Array
+    emit: jax.Array
+    y_s1: jax.Array
+    y_mid: jax.Array
+    y_s3: jax.Array
+    extra_src: jax.Array
+    extra_row: jax.Array
+    shape: tuple[int, int]
+    T: int
+    S: int
+    S_pad: int
+    nslices: int
+    H: int
+    y_T: int
+    y_Tp: int
+
+
+def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
+    put = functools.partial(jax.device_put, device=device)
+    return SellRoutedDevice(
+        w8=put(sr.w8),
+        li=put(sr.li),
+        mid=put(sr.mid),
+        vals_ss=put(sr.vals_ss),
+        p3=put(sr.p3),
+        emit=put(sr.emit),
+        y_s1=put(sr.y_ra["s1"]),
+        y_mid=put(sr.y_ra["mid"]),
+        y_s3=put(sr.y_ra["s3"]),
+        extra_src=put(sr.extra_src),
+        extra_row=put(sr.extra_row),
+        shape=sr.shape,
+        T=sr.T,
+        S=sr.S,
+        S_pad=sr.S_pad,
+        nslices=sr.nslices,
+        H=sr.H,
+        y_T=sr.y_ra["T"],
+        y_Tp=sr.y_ra["Tp"],
+    )
+
+
+def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
+    """y = A @ x via the compiled route (jit-compatible)."""
+    from cvr_tpu.ops.pallas_route import (
+        expand,
+        groupperm_ss,
+        middle_to_stream,
+        reduce_slices,
+        stream_to_middle,
+    )
+
+    nrows, ncols = sd.shape
+    x = x.astype(jnp.float32)
+    x2 = jnp.pad(x, (0, sd.H * 128 - ncols)).reshape(sd.H, 128)
+
+    g1 = expand(sd.w8, sd.li, x2)  # (8, T, 128)
+    m2 = groupperm_ss(stream_to_middle(g1), sd.mid)
+    gxr = middle_to_stream(m2)[:, : sd.S_pad]
+    ys = reduce_slices(
+        sd.emit, sd.vals_ss, gxr, sd.p3, sd.nslices
+    )  # (8, nslices, 128)
+
+    # y-route: per-slice lane sums -> natural row order.
+    ys_flat = jnp.transpose(ys, (1, 0, 2)).reshape(-1)
+    y_ra = {
+        "s1": sd.y_s1,
+        "mid": sd.y_mid,
+        "s3": sd.y_s3,
+        "T": sd.y_T,
+        "Tp": sd.y_Tp,
+        "n": nrows,
+    }
+    from cvr_tpu.ops.pallas_route import apply_route_tpu
+
+    y = apply_route_tpu(y_ra, ys_flat)
+    if sd.extra_src.shape[0]:
+        y = y.at[sd.extra_row].add(
+            jnp.take(ys_flat, sd.extra_src), mode="drop"
+        )
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_spmv_routed():
+    return jax.jit(spmv_routed)

@@ -1,0 +1,90 @@
+"""Routed-gather SpMV (v3): end-to-end correctness on the CPU interpreter.
+
+The routed path compiles the x-gather into windowed Pallas passes plus a
+static Clos route (cvr_tpu/formats/sell_routed.py, cvr_tpu/ops/spmv_routed.py);
+these tests run the full pipeline in Pallas interpret mode and verify
+against the NumPy golden SpMV, mirroring the reference's in-binary check
+(spmv.cpp:1916-1938).
+"""
+
+import numpy as np
+import pytest
+
+import cvr_tpu
+from cvr_tpu.bench.synthetic import banded_matrix, rmat_matrix
+from cvr_tpu.formats.coo import COOMatrix
+from cvr_tpu.formats.sell import sell_pack
+from cvr_tpu.formats.sell_routed import pack_routed, sell_pack_routed
+from cvr_tpu.ops.spmv import spmv
+from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
+
+
+def _check(coo, split_len=None, rtol=1e-4):
+    csr = coo.to_csr()
+    sr = sell_pack_routed(csr, split_len=split_len)
+    x = (
+        np.random.default_rng(7)
+        .standard_normal(coo.shape[1])
+        .astype(np.float32)
+    )
+    y = np.asarray(spmv(sr, x))
+    ok, nbad, maxrel = verify(
+        y,
+        spmv_golden_numpy(csr, x),
+        rtol=rtol,
+        row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok, f"{nbad} bad rows, max rel {maxrel}"
+    return sr
+
+
+def test_routed_rmat_power_law():
+    _check(rmat_matrix(scale=11, edge_factor=8, seed=2))
+
+
+def test_routed_banded():
+    _check(banded_matrix(n=3000, bandwidth=9, seed=0))
+
+
+def test_routed_with_splits():
+    # tiny split_len forces the extra-segment scatter-add combine
+    sr = _check(rmat_matrix(scale=10, edge_factor=12, seed=5), split_len=16)
+    assert sr.extra_src.shape[0] > 0
+
+
+def test_routed_empty_rows_and_cols():
+    rng = np.random.default_rng(3)
+    n = 2500
+    rows = rng.integers(0, n // 3, 4000).astype(np.int64)  # rows 2n/3 empty
+    cols = rng.integers(0, n, 4000).astype(np.int64)
+    vals = rng.standard_normal(4000).astype(np.float32)
+    coo = COOMatrix(rows=rows, cols=cols, vals=vals, shape=(n, n))
+    csr = coo.to_csr()
+    sr = sell_pack_routed(csr)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv(sr, x))
+    y_ref = spmv_golden_numpy(csr, x)
+    ok, nbad, maxrel = verify(
+        y, y_ref, rtol=1e-4, row_scale=spmv_row_scale(csr, x)
+    )
+    assert ok
+    # empty rows must be exactly zero
+    lengths = np.diff(csr.rowptr)
+    assert np.all(y[lengths == 0] == 0.0)
+
+
+def test_routed_requires_c1024():
+    coo = rmat_matrix(scale=8, edge_factor=4, seed=0)
+    sm = sell_pack(coo.to_csr(), C=8)
+    with pytest.raises(ValueError):
+        pack_routed(sm)
+
+
+def test_expand_tiles_cover_plane():
+    coo = rmat_matrix(scale=10, edge_factor=8, seed=1)
+    sm = sell_pack(coo.to_csr(), C=1024)
+    sr = pack_routed(sm)
+    assert sr.T * 1024 >= sm.n_slots * 1024
+    assert sr.w8.shape[0] == sr.T
+    # every in-window offset must be a valid column offset
+    assert sr.li.min() >= 0 and sr.li.max() < 1024
