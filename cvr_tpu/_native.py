@@ -93,7 +93,11 @@ def get_lib():
     ]
     lib.cvr_euler_color.restype = ctypes.c_int
     lib.cvr_euler_color.argtypes = [_i64, _i32p, _i32p, _i64, _i32, _i32p]
-    if lib.cvr_version() != 2:
+    lib.cvr_euler_color_rows.restype = ctypes.c_int
+    lib.cvr_euler_color_rows.argtypes = [
+        _i64, _i64, _i32, _i32p, _i32p, _i32p,
+    ]
+    if lib.cvr_version() != 3:
         return None
     _LIB = lib
     return _LIB
@@ -248,6 +252,18 @@ def euler_color_native(src, dst, n_tiles: int, k: int):
     n_edges = src.shape[0]
     color = np.empty(n_edges, dtype=np.int32)
     rc = lib.cvr_euler_color(n_edges, src, dst, n_tiles, k, color)
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return color
+
+
+def euler_color_rows_native(src, dst, n_rows: int, tk: int, k: int):
+    """Batched independent per-row colorings (recursive route middle)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    color = np.empty(src.shape[0], dtype=np.int32)
+    rc = lib.cvr_euler_color_rows(n_rows, tk, k, src, dst, color)
     if rc != 0:
         raise NativeError(native_error(lib))
     return color

@@ -51,8 +51,8 @@ class SellRouted:
     # expand schedule
     w8: np.ndarray  # (T,) int32 aligned window indices (x window = rows [8*w8, 8*w8+8))
     li: np.ndarray  # (8, T, 128) int16 in-window offsets (stage-1 fused)
-    # middle route stage
-    mid: np.ndarray  # (K, 1024, 128) int16
+    # middle route stage planes (see pallas_route.middle_pass)
+    mid: dict
     # reduce pass
     vals_ss: np.ndarray  # (8, S_pad, 128) f32 value planes, stream layout
     p3: np.ndarray  # (8, S_pad, 128) int16 stage-3 plane
@@ -127,7 +127,7 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         T_src = len(bases)
 
     with pt.phase("route_plan"):
-        T = _round_up(max(T_src, S), 128)
+        T = _round_up(max(T_src, S), 1024)
         if T > 32767:
             raise ValueError(
                 f"matrix too large for int16 route planes (T={T})"
@@ -159,6 +159,7 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
             "filler/trash count mismatch"
         )
         plan = plan_route(perm)
+        assert plan.n_tiles == T
 
     with pt.phase("fuse_planes"):
         # stage 1 fused into the expand plane: element emitted at color q
@@ -170,12 +171,9 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         li_ss = np.ascontiguousarray(
             li_fused.reshape(T, 8, 128).transpose(1, 0, 2)
         )
-        K = T // 128
-        mid = np.ascontiguousarray(
-            plan.mid.astype(np.int16).reshape(1024, K, 128).transpose(
-                1, 0, 2
-            )
-        )
+        from cvr_tpu.ops.pallas_route import middle_planes
+
+        mid = middle_planes(plan)
         # stage 3 plane restricted to the real dest tiles (plane rows),
         # padded to the reduce chunk.
         S_pad = _round_up(S, ch)
@@ -219,7 +217,7 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         ypern[nrows:] = np.flatnonzero(~used)[: Ty * TILE - nrows]
         from cvr_tpu.ops.pallas_route import route_arrays
 
-        y_ra = route_arrays(plan_route(ypern, n=nrows))
+        y_ra = route_arrays(plan_route(ypern, n=nrows, tile_multiple=1024))
         extra = (~is_first) & (seg_row < nrows)
         extra_src = np.flatnonzero(extra).astype(np.int64)
         extra_row = seg_row[extra]

@@ -36,6 +36,7 @@ conversions are XLA relayouts (transposes) between the Pallas calls.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -399,6 +400,175 @@ def reduce_slices(
 
 
 # ---------------------------------------------------------------------------
+# chunksel: the M2 pass of the recursive middle stage — move elements
+# across the Tk chunks of each logical row at a fixed chunk-color position.
+# Data is the mstream layout (8, Tk*1024, 128) viewed as (8, Tk, 1024, 128).
+# ---------------------------------------------------------------------------
+
+
+def _chunksel_kernel(Tk: int, d_ref, c_ref, o_ref):
+    for cd in range(Tk):
+        sel = c_ref[:, cd].astype(jnp.int32)
+        acc = jnp.zeros(sel.shape, jnp.float32)
+        for ca in range(Tk):
+            acc = jnp.where(sel == ca, d_ref[:, ca], acc)
+        o_ref[:, cd] = acc
+
+
+def _qb_for(Tk: int) -> int:
+    # block = (8, Tk, QB, 128); in f32 + csel int16 + out f32 = 10 B/elem,
+    # double-buffered by Mosaic -> keep single-buffered total under ~5 MB.
+    budget = 5 * 1024 * 1024
+    for qb in (256, 128, 64, 32, 16):
+        if 8 * Tk * qb * 128 * (4 + 2 + 4) <= budget:
+            return qb
+    return 16
+
+
+@functools.lru_cache(maxsize=None)
+def _chunksel_call(Tk: int, interpret: bool):
+    QB = _qb_for(Tk)
+    grid = 1024 // QB
+
+    def fn(data4, csel4):
+        return pl.pallas_call(
+            functools.partial(_chunksel_kernel, Tk),
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((8, Tk, 1024, 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(
+                    (8, Tk, QB, 128),
+                    lambda i: (0, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, Tk, QB, 128),
+                    lambda i: (0, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (8, Tk, QB, 128),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(data4, csel4)
+
+    return jax.jit(fn)
+
+
+def chunksel(data: jax.Array, csel: jax.Array, Tk: int) -> jax.Array:
+    """data/csel (8, Tk*1024, 128); moves slab ca*1024+q -> cd*1024+q."""
+    out = _chunksel_call(Tk, use_interpret())(
+        data.reshape(8, Tk, 1024, 128), csel.reshape(8, Tk, 1024, 128)
+    )
+    return out.reshape(8, Tk * 1024, 128)
+
+
+def stream_to_mstream(g: jax.Array, Tk: int) -> jax.Array:
+    """(8,T,128) [qh, a, ql] -> (8, Tk*1024, 128) [pH, ca*1024+q, pL]
+    where a = ca*1024 + p (p = within-chunk position)."""
+    h = g.reshape(8, Tk, 8, 128, 128)  # [qh, ca, pH, pL, ql]
+    return jnp.transpose(h, (2, 1, 0, 4, 3)).reshape(8, Tk * 1024, 128)
+
+
+def mstream_to_stream(m: jax.Array, Tk: int) -> jax.Array:
+    """(8, Tk*1024, 128) [fH, cd*1024+q, fL] -> (8,T,128) [qh, d, ql]
+    where d = cd*1024 + f."""
+    h = m.reshape(8, Tk, 8, 128, 128)  # [fH, cd, qh, ql, fL]
+    return jnp.transpose(h, (2, 1, 0, 4, 3)).reshape(8, Tk * 1024, 128)
+
+
+def middle_pass(g1: jax.Array, planes) -> jax.Array:
+    """The route middle stage on a stream-layout array (8, T, 128).
+
+    planes (dict or RouteMidDevice):
+      kind "flat":  mid plane, T == 1024 (single tileperm)
+      kind "rec":   m1/csel/m3 planes, T == Tk*1024
+      kind "brute": mid plane, any T (legacy O(T/128)-per-element kernel)
+    """
+    get = planes.get if isinstance(planes, dict) else (
+        lambda k: getattr(planes, k)
+    )
+    kind = get("kind")
+    if kind == "brute":
+        return middle_to_stream(
+            groupperm_ss(stream_to_middle(g1), get("mid"))
+        )
+    Tk = get("Tk")
+    m = stream_to_mstream(g1, Tk)
+    if kind == "flat":
+        m = tileperm_ss(m, get("mid"))
+    else:
+        m = tileperm_ss(m, get("m1"))
+        m = chunksel(m, get("csel"), Tk)
+        m = tileperm_ss(m, get("m3"))
+    return mstream_to_stream(m, Tk)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mid", "m1", "csel", "m3"],
+    meta_fields=["kind", "Tk"],
+)
+@dataclasses.dataclass(frozen=True)
+class RouteMidDevice:
+    """Device-resident middle-stage planes (see middle_pass)."""
+
+    kind: str
+    Tk: int
+    mid: jax.Array | None = None
+    m1: jax.Array | None = None
+    csel: jax.Array | None = None
+    m3: jax.Array | None = None
+
+    def get(self, k):
+        return getattr(self, k)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["s1", "mid", "s3"],
+    meta_fields=["T", "Tp", "n"],
+)
+@dataclasses.dataclass(frozen=True)
+class RouteDevice:
+    """Device-resident full route (stages 1/3 + middle)."""
+
+    s1: jax.Array
+    mid: RouteMidDevice
+    s3: jax.Array
+    T: int
+    Tp: int
+    n: int
+
+
+def mid_to_device(mp: dict, device=None) -> RouteMidDevice:
+    put = functools.partial(jax.device_put, device=device)
+    return RouteMidDevice(
+        kind=mp["kind"],
+        Tk=mp["Tk"],
+        mid=put(mp["mid"]) if "mid" in mp else None,
+        m1=put(mp["m1"]) if "m1" in mp else None,
+        csel=put(mp["csel"]) if "csel" in mp else None,
+        m3=put(mp["m3"]) if "m3" in mp else None,
+    )
+
+
+def route_to_device(ra: dict, device=None) -> RouteDevice:
+    put = functools.partial(jax.device_put, device=device)
+    return RouteDevice(
+        s1=put(ra["s1"]),
+        mid=mid_to_device(ra["mid_planes"], device),
+        s3=put(ra["s3"]),
+        T=ra["T"],
+        Tp=ra["Tp"],
+        n=ra["n"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Layout conversions + full route executor
 # ---------------------------------------------------------------------------
 
@@ -430,45 +600,75 @@ def middle_to_stream(m: jax.Array) -> jax.Array:
     ).reshape(8, K * 128, 128)
 
 
-def route_arrays(plan) -> dict:
-    """Device-ready sublane-split int16 index planes for a RoutePlan."""
+def _to_ss16(a: np.ndarray) -> np.ndarray:
+    """Logical [Ntiles, 1024] int plane -> stream layout (8, Ntiles, 128)."""
+    n = a.shape[0]
+    return np.ascontiguousarray(
+        a.astype(np.int16).reshape(n, 8, 128).transpose(1, 0, 2)
+    )
+
+
+def middle_planes(plan) -> dict:
+    """Device-ready middle-stage planes for a RoutePlan (host NumPy)."""
+    from cvr_tpu.ops.route import plan_mid_recursive
+
     T = plan.n_tiles
+    if T % 1024 == 0:
+        Tk = T // 1024
+        if Tk == 1:
+            return {"kind": "flat", "mid": _to_ss16(plan.mid), "Tk": 1}
+        rec = plan_mid_recursive(plan)
+        return {
+            "kind": "rec",
+            "m1": _to_ss16(rec["m1"]),
+            "csel": _to_ss16(rec["csel"]),
+            "m3": _to_ss16(rec["m3"]),
+            "Tk": Tk,
+        }
+    # legacy brute kernel for streams not rounded to 1024 tiles
     Tp = _round_up(T, 128)
     K = Tp // 128
-    # s1 (T, 1024) -> stream layout (8, Tp, 128); padded tiles: identity.
-    s1 = np.tile(np.arange(1024, dtype=np.int16), (Tp, 1)).reshape(Tp, 1024)
-    s1[:T] = plan.s1.astype(np.int16)
-    s1_ss = np.ascontiguousarray(
-        s1.reshape(Tp, 8, 128).transpose(1, 0, 2)
-    )
-    # mid (1024, T) -> middle layout (K, 1024, 128); padded columns:
-    # identity (gather from own tile index).
     mid = np.tile(np.arange(Tp, dtype=np.int16), (1024, 1))
     mid[:, :T] = plan.mid.astype(np.int16)
     mid_ss = np.ascontiguousarray(
         mid.reshape(1024, K, 128).transpose(1, 0, 2)
     )
+    return {"kind": "brute", "mid": mid_ss, "Tk": K}
+
+
+def route_arrays(plan) -> dict:
+    """Device-ready sublane-split int16 index planes for a RoutePlan."""
+    T = plan.n_tiles
+    Tp = _round_up(T, 128)
+    # s1 (T, 1024) -> stream layout (8, Tp, 128); padded tiles: identity.
+    s1 = np.tile(np.arange(1024, dtype=np.int16), (Tp, 1)).reshape(Tp, 1024)
+    s1[:T] = plan.s1.astype(np.int16)
     s3 = np.tile(np.arange(1024, dtype=np.int16), (Tp, 1)).reshape(Tp, 1024)
     s3[:T] = plan.s3.astype(np.int16)
-    s3_ss = np.ascontiguousarray(
-        s3.reshape(Tp, 8, 128).transpose(1, 0, 2)
-    )
     return {
-        "s1": s1_ss,
-        "mid": mid_ss,
-        "s3": s3_ss,
+        "s1": _to_ss16(s1),
+        "mid_planes": middle_planes(plan),
+        "s3": _to_ss16(s3),
         "T": T,
         "Tp": Tp,
         "n": plan.n,
     }
 
 
-def apply_route_tpu(ra: dict, v: jax.Array) -> jax.Array:
-    """Execute a compiled route on device: out = v[perm] (flat)."""
-    T, Tp = ra["T"], ra["Tp"]
+def apply_route_tpu(ra, v: jax.Array) -> jax.Array:
+    """Execute a compiled route on device: out = v[perm] (flat).
+
+    ``ra``: a route_arrays dict (host) or RouteDevice (device pytree).
+    """
+    if isinstance(ra, dict):
+        T, Tp, n = ra["T"], ra["Tp"], ra["n"]
+        s1, mp, s3 = ra["s1"], ra["mid_planes"], ra["s3"]
+    else:
+        T, Tp, n = ra.T, ra.Tp, ra.n
+        s1, mp, s3 = ra.s1, ra.mid, ra.s3
     n_pad = Tp * 1024 - v.shape[0]
     g = flat_to_stream(jnp.pad(v, (0, n_pad)) if n_pad else v, Tp)
-    g1 = tileperm_ss(g, ra["s1"])
-    g2 = middle_to_stream(groupperm_ss(stream_to_middle(g1), ra["mid"]))
-    g3 = tileperm_ss(g2, ra["s3"])
-    return stream_to_flat(g3)[: ra["n"]]
+    g1 = tileperm_ss(g, s1)
+    g2 = middle_pass(g1, mp)
+    g3 = tileperm_ss(g2, s3)
+    return stream_to_flat(g3)[:n]

@@ -182,17 +182,21 @@ class RoutePlan:
         return self.s1.shape[0]
 
 
-def plan_route(perm: np.ndarray, n: int | None = None) -> RoutePlan:
+def plan_route(
+    perm: np.ndarray, n: int | None = None, tile_multiple: int = 1
+) -> RoutePlan:
     """Compile a bijection into a 3-stage Clos route.
 
     ``perm``: int array, out[i] = v[perm[i]]; must be a permutation of
-    [0, len(perm)).  The stream is padded to a multiple of 1024 with
-    identity tail positions.
+    [0, len(perm)).  The stream is padded to ``tile_multiple`` tiles of
+    1024 with identity tail positions (tile_multiple=1024 enables the
+    recursive middle stage, plan_mid_recursive).
     """
     perm = np.asarray(perm, dtype=np.int64)
     n = int(perm.shape[0]) if n is None else n
     N = perm.shape[0]
     T = max(1, -(-N // TILE))
+    T = -(-T // tile_multiple) * tile_multiple
     Np = T * TILE
     full = np.arange(Np, dtype=np.int64)
     full[:N] = perm
@@ -236,3 +240,70 @@ def apply_route_numpy(plan: RoutePlan, v: np.ndarray) -> np.ndarray:
     g2t = g2.T.copy()  # [T, 1024]
     out = np.take_along_axis(g2t, plan.s3.astype(np.int64), axis=1)
     return out.reshape(-1)[: plan.n]
+
+
+# ---------------------------------------------------------------------------
+# Recursive (two-level Benes) middle stage
+# ---------------------------------------------------------------------------
+#
+# The middle stage permutes within rows of length T.  Executed brutely it
+# costs O(T/128) vector ops per element; for web-scale T (~7000) that pass
+# dominates the whole SpMV.  Decompose each row's permutation, viewing the
+# row as a (Tk, 1024) grid of chunks (Tk = T/1024):
+#
+#   M1: permute within each source chunk  -> position = chunk color m
+#   M2: move across chunks at fixed m     -> Tk-way select (cheap)
+#   M3: permute within each dest chunk    -> final in-row position
+#
+# M1/M3 are within-1024 tile permutations (the fast tileperm kernel); the
+# chunk color m is a second-level Euler coloring, one independent
+# 1024-regular bipartite multigraph per row (Tk nodes per side).
+
+
+def plan_mid_recursive(plan: RoutePlan):
+    """Decompose plan.mid into (m1, csel, m3) planes; requires T % 1024 == 0.
+
+    Returns logical planes, all shaped [Tk*1024, 1024] except csel:
+      m1[ca*1024 + q, m]   = within-chunk source offset (a & 1023)
+      csel[cd*1024 + q, m] = source chunk ca
+      m3[cd*1024 + q, f]   = chunk color m of the element ending at f
+    """
+    mid = plan.mid  # [1024, T]
+    T = mid.shape[1]
+    if T % TILE:
+        raise ValueError("recursive middle requires T % 1024 == 0")
+    Tk = T // TILE
+    a = mid.astype(np.int64)  # [1024, T]: source tile per (q, d)
+    d = np.broadcast_to(np.arange(T, dtype=np.int64), (TILE, T))
+    ca = (a >> 10).astype(np.int32)
+    cd = (d >> 10).astype(np.int32)
+
+    if Tk == 1:
+        return None  # caller uses a single tileperm over rows
+
+    from cvr_tpu import _native
+
+    if _native.available() and hasattr(_native, "euler_color_rows_native"):
+        colors = _native.euler_color_rows_native(
+            np.ascontiguousarray(ca.reshape(-1)),
+            np.ascontiguousarray(cd.reshape(-1)),
+            TILE,
+            Tk,
+            TILE,
+        ).reshape(TILE, T)
+    else:
+        colors = np.empty((TILE, T), dtype=np.int32)
+        for q in range(TILE):
+            colors[q] = euler_color_py(ca[q], cd[q], Tk, TILE)
+
+    q_grid = np.broadcast_to(
+        np.arange(TILE, dtype=np.int64)[:, None], (TILE, T)
+    )
+    m = colors.astype(np.int64)
+    m1 = np.empty((Tk * TILE, TILE), dtype=np.int16)
+    m1[ca.astype(np.int64) * TILE + q_grid, m] = (a & 1023).astype(np.int16)
+    csel = np.empty((Tk * TILE, TILE), dtype=np.int16)
+    csel[cd.astype(np.int64) * TILE + q_grid, m] = ca.astype(np.int16)
+    m3 = np.empty((Tk * TILE, TILE), dtype=np.int16)
+    m3[cd.astype(np.int64) * TILE + q_grid, (d & 1023)] = m.astype(np.int16)
+    return {"m1": m1, "csel": csel, "m3": m3, "Tk": Tk}

@@ -4,12 +4,11 @@ Pipeline (all static control flow; see cvr_tpu/formats/sell_routed.py and
 docs/DESIGN.md):
 
     x2   = pad(x) as (H, 128)                      [VMEM-resident table]
-    g1   = expand(w8, li, x2)                       window gather + stage 1
-    m    = stream_to_middle(g1)                     XLA relayout
-    m2   = groupperm_ss(m, mid)                     route middle stage
-    gxr  = middle_to_stream(m2)[:, :S_pad]          XLA relayout
+    g1   = expand(w10, li, x2)                      window gather + stage 1
+    g2   = middle_pass(g1, mid)                     route middle (recursive)
+    gxr  = g2[:, :S_pad]
     ys   = reduce_slices(emit, vals, gxr, p3)       FMA + slice sums + st.3
-    y    = route(y_ra, ys) ; scatter-add split-row extras ; [:nrows]
+    y    = route(y, ys) ; scatter-add split-row extras ; [:nrows]
 """
 
 from __future__ import annotations
@@ -19,9 +18,18 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cvr_tpu.formats.sell_routed import SellRouted
+from cvr_tpu.ops.pallas_route import (
+    RouteDevice,
+    RouteMidDevice,
+    apply_route_tpu,
+    expand,
+    middle_pass,
+    mid_to_device,
+    reduce_slices,
+    route_to_device,
+)
 
 
 @functools.partial(
@@ -33,25 +41,21 @@ from cvr_tpu.formats.sell_routed import SellRouted
         "vals_ss",
         "p3",
         "emit",
-        "y_s1",
-        "y_mid",
-        "y_s3",
+        "yroute",
         "extra_src",
         "extra_row",
     ],
-    meta_fields=["shape", "T", "S", "S_pad", "nslices", "H", "y_T", "y_Tp"],
+    meta_fields=["shape", "T", "S", "S_pad", "nslices", "H"],
 )
 @dataclasses.dataclass(frozen=True)
 class SellRoutedDevice:
     w8: jax.Array
     li: jax.Array
-    mid: jax.Array
+    mid: RouteMidDevice
     vals_ss: jax.Array
     p3: jax.Array
     emit: jax.Array
-    y_s1: jax.Array
-    y_mid: jax.Array
-    y_s3: jax.Array
+    yroute: RouteDevice
     extra_src: jax.Array
     extra_row: jax.Array
     shape: tuple[int, int]
@@ -60,8 +64,6 @@ class SellRoutedDevice:
     S_pad: int
     nslices: int
     H: int
-    y_T: int
-    y_Tp: int
 
 
 def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
@@ -69,13 +71,11 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
     return SellRoutedDevice(
         w8=put(sr.w8),
         li=put(sr.li),
-        mid=put(sr.mid),
+        mid=mid_to_device(sr.mid, device),
         vals_ss=put(sr.vals_ss),
         p3=put(sr.p3),
         emit=put(sr.emit),
-        y_s1=put(sr.y_ra["s1"]),
-        y_mid=put(sr.y_ra["mid"]),
-        y_s3=put(sr.y_ra["s3"]),
+        yroute=route_to_device(sr.y_ra, device),
         extra_src=put(sr.extra_src),
         extra_row=put(sr.extra_row),
         shape=sr.shape,
@@ -84,45 +84,24 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
         S_pad=sr.S_pad,
         nslices=sr.nslices,
         H=sr.H,
-        y_T=sr.y_ra["T"],
-        y_Tp=sr.y_ra["Tp"],
     )
 
 
 def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     """y = A @ x via the compiled route (jit-compatible)."""
-    from cvr_tpu.ops.pallas_route import (
-        expand,
-        groupperm_ss,
-        middle_to_stream,
-        reduce_slices,
-        stream_to_middle,
-    )
-
     nrows, ncols = sd.shape
     x = x.astype(jnp.float32)
     x2 = jnp.pad(x, (0, sd.H * 128 - ncols)).reshape(sd.H, 128)
 
     g1 = expand(sd.w8, sd.li, x2)  # (8, T, 128)
-    m2 = groupperm_ss(stream_to_middle(g1), sd.mid)
-    gxr = middle_to_stream(m2)[:, : sd.S_pad]
+    gxr = middle_pass(g1, sd.mid)[:, : sd.S_pad]
     ys = reduce_slices(
         sd.emit, sd.vals_ss, gxr, sd.p3, sd.nslices
     )  # (8, nslices, 128)
 
     # y-route: per-slice lane sums -> natural row order.
     ys_flat = jnp.transpose(ys, (1, 0, 2)).reshape(-1)
-    y_ra = {
-        "s1": sd.y_s1,
-        "mid": sd.y_mid,
-        "s3": sd.y_s3,
-        "T": sd.y_T,
-        "Tp": sd.y_Tp,
-        "n": nrows,
-    }
-    from cvr_tpu.ops.pallas_route import apply_route_tpu
-
-    y = apply_route_tpu(y_ra, ys_flat)
+    y = apply_route_tpu(sd.yroute, ys_flat)
     if sd.extra_src.shape[0]:
         y = y.at[sd.extra_row].add(
             jnp.take(ys_flat, sd.extra_src), mode="drop"

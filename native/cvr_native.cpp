@@ -515,6 +515,26 @@ int cvr_euler_color(int64_t n_edges, const int32_t* src, const int32_t* dst,
   return 0;
 }
 
-int cvr_version() { return 2; }
+// Batched per-row coloring for the recursive (two-level Benes) middle
+// stage: n_rows independent k-regular bipartite multigraphs with Tk tiles
+// per side and Tk*k edges each, stored consecutively.
+int cvr_euler_color_rows(int64_t n_rows, int64_t tk, int32_t k,
+                         const int32_t* src, const int32_t* dst,
+                         int32_t* color_out) {
+  if (k <= 0 || (k & (k - 1))) return fail("k must be a power of two");
+  const int64_t per = tk * (int64_t)k;
+  for (int64_t r = 0; r < n_rows; r++) {
+    const int32_t* s = src + r * per;
+    const int32_t* d = dst + r * per;
+    std::vector<int32_t> usrc(s, s + per);
+    std::vector<int32_t> udst(d, d + per);
+    std::vector<int32_t> gid((size_t)per);
+    for (int64_t i = 0; i < per; i++) gid[(size_t)i] = (int32_t)i;
+    euler_split(usrc, udst, gid, tk, k, 0, color_out + r * per);
+  }
+  return 0;
+}
+
+int cvr_version() { return 3; }
 
 }  // extern "C"
