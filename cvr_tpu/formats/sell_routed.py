@@ -77,7 +77,7 @@ class SellRouted:
 def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
     """CSR -> SELL-R in one step (the routed path's converter entry).
 
-    split_len default: ``max(256, 16 * mean_row_len)`` — much larger than
+    split_len default: ``max(1024, 16 * mean_row_len)`` — much larger than
     the SELL default (4x mean) because (a) global length sorting already
     grades slice widths, so padding from long rows is small, and (b) every
     extra segment costs a scalar-rate scatter-add in the y-combine; only
@@ -87,7 +87,7 @@ def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
 
     if split_len is None:
         mean_len = -(-max(csr.nnz, 1) // max(csr.shape[0], 1))
-        split_len = max(256, 16 * mean_len)
+        split_len = max(1024, 16 * mean_len)
     sm = sell_pack(csr, C=TILE, split_len=split_len)
     sr = pack_routed(sm)
     sr.convert_time += sm.convert_time
@@ -219,7 +219,13 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
 
         y_ra = route_arrays(plan_route(ypern, n=nrows, tile_multiple=1024))
         extra = (~is_first) & (seg_row < nrows)
-        extra_src = np.flatnonzero(extra).astype(np.int64)
+        extra_pos = np.flatnonzero(extra).astype(np.int64)  # y_sorted flat
+        # remap to the padded stream layout (8, Tp, 128): position
+        # sigma*1024 + i*128 + l  ->  i*(Tp*128) + sigma*128 + l
+        yTp = y_ra["Tp"]
+        sig, rem = extra_pos // 1024, extra_pos % 1024
+        i_, l_ = rem // 128, rem % 128
+        extra_src = i_ * (yTp * 128) + sig * 128 + l_
         extra_row = seg_row[extra]
 
     H = _round_up(_round_up(ncols, 128) // 128 + 8, 8)

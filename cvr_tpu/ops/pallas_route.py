@@ -45,8 +45,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 # Tiles per grid step for stream-layout kernels (block = (8, TC, 128)).
-TC = 512
+TC = int(os.environ.get("CVR_TC", "512"))
 # Q rows per grid step in the middle kernel (block = (K, QC, 128));
 # chosen per-K so in+idx+out blocks (double-buffered) fit VMEM.
 def _qc_for(K: int) -> int:
@@ -56,9 +58,9 @@ def _qc_for(K: int) -> int:
             return qc
     return 8
 # Plane rows (tiles) per grid step in the reduce kernel.
-CH = 128
+CH = int(os.environ.get("CVR_CH", "128"))
 # Tiles per grid step in the expand kernel (per-tile windows force a loop).
-TB = 256
+TB = int(os.environ.get("CVR_TB", "128"))
 
 
 def use_interpret() -> bool:
@@ -480,12 +482,223 @@ def mstream_to_stream(m: jax.Array, Tk: int) -> jax.Array:
     return jnp.transpose(h, (2, 1, 0, 4, 3)).reshape(8, Tk * 1024, 128)
 
 
+# ---------------------------------------------------------------------------
+# Fused middle kernels: the stream<->mstream relayouts, executed as XLA
+# transposes, materialize at ~126 GB/s and cost as much as all three
+# middle passes combined.  In-kernel Mosaic transposes of one chunk are
+# ~free (probed), so M1 fuses transpose-in and M3 fuses transpose-out;
+# the flat (Tk == 1) middle fuses all three steps into one kernel.
+# Grid = (Tk, 2): one chunk x one q-half (4 sublanes) per step, keeping
+# blocks at 2 MB.
+# ---------------------------------------------------------------------------
+
+
+def _gather_slabs(t, idx):
+    """tileperm core: t (8, W, 128), idx int32 (8, W, 128) in [0,1024)."""
+    out = []
+    for i in range(8):
+        lo = jnp.bitwise_and(idx[i], 127)
+        hi = jax.lax.shift_right_logical(idx[i], 7)
+        acc = jnp.zeros(lo.shape, jnp.float32)
+        for s in range(8):
+            cand = jnp.take_along_axis(t[s], lo, axis=1)
+            acc = jnp.where(hi == s, cand, acc)
+        out.append(acc)
+    return jnp.stack(out, axis=0)
+
+
+# q-quarters: 2 sublane rows of the stream chunk = 256 mstream slabs per
+# grid step, keeping blocks at ~1 MB so Mosaic's scoped VMEM stays <16 MB.
+NQ = 4  # quarters per chunk
+QS = 1024 // NQ  # slabs per step
+SS = 8 // NQ  # stream sublane rows per step
+
+
+def _m1_fused_kernel(d_ref, i_ref, o_ref):
+    # in: stream chunk quarter (SS, 1024, 128) [qh, p, ql]
+    x = d_ref[...].reshape(SS, 8, 128, 128)  # [qh, pH, pL, ql]
+    t = jnp.transpose(x, (1, 0, 3, 2)).reshape(8, QS, 128)  # [pH, q, pL]
+    o_ref[...] = _gather_slabs(t, i_ref[...].astype(jnp.int32))
+
+
+def _m3_fused_kernel(d_ref, i_ref, o_ref):
+    # in: mstream slabs (8, QS, 128) [mH, q, mL]; gather then transpose
+    g = _gather_slabs(d_ref[...], i_ref[...].astype(jnp.int32))
+    x = g.reshape(8, SS, 128, 128)  # [fH, qh, ql, fL]
+    o_ref[...] = jnp.transpose(x, (1, 0, 3, 2)).reshape(SS, 1024, 128)
+
+
+def _flat_fused_kernel(d_ref, i_ref, o_ref):
+    x = d_ref[...].reshape(SS, 8, 128, 128)
+    t = jnp.transpose(x, (1, 0, 3, 2)).reshape(8, QS, 128)
+    g = _gather_slabs(t, i_ref[...].astype(jnp.int32))
+    x2 = g.reshape(8, SS, 128, 128)
+    o_ref[...] = jnp.transpose(x2, (1, 0, 3, 2)).reshape(SS, 1024, 128)
+
+
+@functools.lru_cache(maxsize=None)
+def _mid_fused_call(Tk: int, which: str, interpret: bool):
+    kern = {
+        "m1": _m1_fused_kernel,
+        "m3": _m3_fused_kernel,
+        "flat": _flat_fused_kernel,
+    }[which]
+    stream_spec = pl.BlockSpec(
+        (SS, 1024, 128), lambda c, h: (h, c, 0), memory_space=pltpu.VMEM
+    )
+    slab_spec = pl.BlockSpec(
+        (8, QS, 128), lambda c, h: (0, c * NQ + h, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_spec, out_spec = {
+        "m1": (stream_spec, slab_spec),
+        "m3": (slab_spec, stream_spec),
+        "flat": (stream_spec, stream_spec),
+    }[which]
+    out_shape = {
+        "m1": (8, Tk * 1024, 128),
+        "m3": (8, Tk * 1024, 128),
+        "flat": (8, Tk * 1024, 128),
+    }[which]
+
+    def fn(data, idx):
+        return pl.pallas_call(
+            kern,
+            grid=(Tk, NQ),
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            in_specs=[
+                in_spec,
+                pl.BlockSpec(
+                    (8, QS, 128),
+                    lambda c, h: (0, c * NQ + h, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(data, idx)
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Small-route fused executor: a whole T == 1024 route (the y-route) in two
+# kernels — [stage1 + transpose + middle] and [transpose + stage3 +
+# flatten] — instead of five passes.  The input is already in stream
+# layout, so there are zero XLA relayouts.
+# ---------------------------------------------------------------------------
+
+
+def _sr1_kernel(d_ref, s1_ref, mid_ref, o_ref):
+    # d: full stream (8, 1024, 128) [pH, tile, pL]; s1 rows for this
+    # quarter (2, 1024, 128); mid slabs quarter (8, 256, 128).
+    outs = []
+    for j in range(2):
+        idx = s1_ref[j].astype(jnp.int32)
+        lo = jnp.bitwise_and(idx, 127)
+        hi = jax.lax.shift_right_logical(idx, 7)
+        acc = jnp.zeros(lo.shape, jnp.float32)
+        for s in range(8):
+            cand = jnp.take_along_axis(d_ref[s], lo, axis=1)
+            acc = jnp.where(hi == s, cand, acc)
+        outs.append(acc)
+    g2 = jnp.stack(outs, axis=0)  # (2, 1024, 128) [qh_local, a, ql]
+    t = jnp.transpose(
+        g2.reshape(2, 8, 128, 128), (1, 0, 3, 2)
+    ).reshape(8, 256, 128)  # [aH, q_local, aL]
+    o_ref[...] = _gather_slabs(t, mid_ref[...].astype(jnp.int32))
+
+
+def _sr2_kernel(d_ref, s3_ref, o_ref):
+    # d: mstream rows quarter (2, 1024, 128) [dH_local, q, dL];
+    # s3 tiles quarter (8, 256, 128); out natural-flat (256, 8, 128).
+    x = d_ref[...].reshape(2, 8, 128, 128)  # [dH, qh, ql, dL]
+    t2 = jnp.transpose(x, (1, 0, 3, 2)).reshape(8, 256, 128)
+    g = _gather_slabs(t2, s3_ref[...].astype(jnp.int32))
+    o_ref[...] = jnp.transpose(g, (1, 0, 2))  # (256, 8, 128)
+
+
+@functools.lru_cache(maxsize=None)
+def _route_small_call(interpret: bool):
+    def fn(g, s1, mid, s3):
+        m = pl.pallas_call(
+            _sr1_kernel,
+            grid=(4,),
+            out_shape=jax.ShapeDtypeStruct((8, 1024, 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(
+                    (8, 1024, 128),
+                    lambda h: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2, 1024, 128),
+                    lambda h: (h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, 256, 128),
+                    lambda h: (0, h, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (8, 256, 128), lambda h: (0, h, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(g, s1, mid)
+        y = pl.pallas_call(
+            _sr2_kernel,
+            grid=(4,),
+            out_shape=jax.ShapeDtypeStruct((1024, 8, 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(
+                    (2, 1024, 128),
+                    lambda h: (h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, 256, 128),
+                    lambda h: (0, h, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (256, 8, 128), lambda h: (h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(m, s3)
+        return y.reshape(-1)
+
+    return jax.jit(fn)
+
+
+def apply_route_stream(ra, g: jax.Array) -> jax.Array:
+    """Route with the input already in stream layout (8, Tp, 128)."""
+    if isinstance(ra, dict):
+        T, Tp, n = ra["T"], ra["Tp"], ra["n"]
+        s1, mp, s3 = ra["s1"], ra["mid_planes"], ra["s3"]
+    else:
+        T, Tp, n = ra.T, ra.Tp, ra.n
+        s1, mp, s3 = ra.s1, ra.mid, ra.s3
+    kind = mp["kind"] if isinstance(mp, dict) else mp.kind
+    get = mp.get if isinstance(mp, dict) else (lambda k: getattr(mp, k))
+    if Tp == 1024 and kind == "flat":
+        return _route_small_call(use_interpret())(
+            g, s1, get("mid"), s3
+        )[:n]
+    g1 = tileperm_ss(g, s1)
+    g2 = middle_pass(g1, mp)
+    g3 = tileperm_ss(g2, s3)
+    return stream_to_flat(g3)[:n]
+
+
 def middle_pass(g1: jax.Array, planes) -> jax.Array:
     """The route middle stage on a stream-layout array (8, T, 128).
 
     planes (dict or RouteMidDevice):
-      kind "flat":  mid plane, T == 1024 (single tileperm)
-      kind "rec":   m1/csel/m3 planes, T == Tk*1024
+      kind "flat":  mid plane, T == 1024 (fused transpose+perm+transpose)
+      kind "rec":   m1/csel/m3 planes, T == Tk*1024 (fused relayouts)
       kind "brute": mid plane, any T (legacy O(T/128)-per-element kernel)
     """
     get = planes.get if isinstance(planes, dict) else (
@@ -497,14 +710,12 @@ def middle_pass(g1: jax.Array, planes) -> jax.Array:
             groupperm_ss(stream_to_middle(g1), get("mid"))
         )
     Tk = get("Tk")
-    m = stream_to_mstream(g1, Tk)
+    interp = use_interpret()
     if kind == "flat":
-        m = tileperm_ss(m, get("mid"))
-    else:
-        m = tileperm_ss(m, get("m1"))
-        m = chunksel(m, get("csel"), Tk)
-        m = tileperm_ss(m, get("m3"))
-    return mstream_to_stream(m, Tk)
+        return _mid_fused_call(Tk, "flat", interp)(g1, get("mid"))
+    m = _mid_fused_call(Tk, "m1", interp)(g1, get("m1"))
+    m = chunksel(m, get("csel"), Tk)
+    return _mid_fused_call(Tk, "m3", interp)(m, get("m3"))
 
 
 @functools.partial(
@@ -668,7 +879,4 @@ def apply_route_tpu(ra, v: jax.Array) -> jax.Array:
         s1, mp, s3 = ra.s1, ra.mid, ra.s3
     n_pad = Tp * 1024 - v.shape[0]
     g = flat_to_stream(jnp.pad(v, (0, n_pad)) if n_pad else v, Tp)
-    g1 = tileperm_ss(g, s1)
-    g2 = middle_pass(g1, mp)
-    g3 = tileperm_ss(g2, s3)
-    return stream_to_flat(g3)[:n]
+    return apply_route_stream(ra, g)

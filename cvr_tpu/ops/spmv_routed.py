@@ -23,7 +23,7 @@ from cvr_tpu.formats.sell_routed import SellRouted
 from cvr_tpu.ops.pallas_route import (
     RouteDevice,
     RouteMidDevice,
-    apply_route_tpu,
+    apply_route_stream,
     expand,
     middle_pass,
     mid_to_device,
@@ -99,12 +99,16 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
         sd.emit, sd.vals_ss, gxr, sd.p3, sd.nslices
     )  # (8, nslices, 128)
 
-    # y-route: per-slice lane sums -> natural row order.
-    ys_flat = jnp.transpose(ys, (1, 0, 2)).reshape(-1)
-    y = apply_route_tpu(sd.yroute, ys_flat)
+    # y-route: per-slice lane sums -> natural row order.  The reduce
+    # output (8, nslices, 128) IS the route's stream layout (tile = slice,
+    # pos = lane): pad the slice axis and route with zero relayouts.
+    yT = sd.yroute.Tp
+    ysp = jnp.pad(ys, ((0, 0), (0, yT * 1 - sd.nslices), (0, 0)))
+    y = apply_route_stream(sd.yroute, ysp)
     if sd.extra_src.shape[0]:
+        # extra_src indexes the padded stream (8, yT, 128) flat.
         y = y.at[sd.extra_row].add(
-            jnp.take(ys_flat, sd.extra_src), mode="drop"
+            jnp.take(ysp.reshape(-1), sd.extra_src), mode="drop"
         )
     return y
 
