@@ -8,7 +8,7 @@ vs_baseline compares 2*nnz GFLOPS against the reference CVR binary's
 webGraph-domain average on its own target hardware (7.28 GFLOPS on a
 68-core Xeon Phi KNL, CVR paper Table 3 — see BASELINE.md).
 
-Usage: python bench.py [--quick] [--impl sell-xla|sell-pallas|csr]
+Usage: python bench.py [--quick] [--impl sell-routed|sell-xla|csr]
                        [--iters N] [--json-only]
 """
 
@@ -25,7 +25,7 @@ CVR_KNL_WEBGRAPH_GFLOPS = 7.28
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small matrix")
-    ap.add_argument("--impl", default="sell-xla")
+    ap.add_argument("--impl", default="sell-routed")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()

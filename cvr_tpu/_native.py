@@ -97,7 +97,16 @@ def get_lib():
     lib.cvr_euler_color_rows.argtypes = [
         _i64, _i64, _i32, _i32p, _i32p, _i32p,
     ]
-    if lib.cvr_version() != 3:
+    _i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.cvr_route_planes.restype = ctypes.c_int
+    lib.cvr_route_planes.argtypes = [
+        _i64, _i32p, _i32p, _i64, _i16p, _i16p, _i16p,
+    ]
+    lib.cvr_mid_planes.restype = ctypes.c_int
+    lib.cvr_mid_planes.argtypes = [_i64, _i16p, _i32p, _i16p, _i16p, _i16p]
+    lib.cvr_mid_edges.restype = ctypes.c_int
+    lib.cvr_mid_edges.argtypes = [_i64, _i16p, _i32p, _i32p]
+    if lib.cvr_version() != 4:
         return None
     _LIB = lib
     return _LIB
@@ -255,6 +264,46 @@ def euler_color_native(src, dst, n_tiles: int, k: int):
     if rc != 0:
         raise NativeError(native_error(lib))
     return color
+
+
+def route_planes_native(perm, colors, T: int):
+    """Build s1/mid/s3 int16 planes in one native pass."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    n = perm.shape[0]
+    s1 = np.empty((T, 1024), dtype=np.int16)
+    mid = np.empty((1024, T), dtype=np.int16)
+    s3 = np.empty((T, 1024), dtype=np.int16)
+    rc = lib.cvr_route_planes(n, perm, colors, T, s1, mid, s3)
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return s1, mid, s3
+
+
+def mid_planes_native(mid, T: int, colors_rows):
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    m1 = np.empty((T, 1024), dtype=np.int16)
+    csel = np.empty((T, 1024), dtype=np.int16)
+    m3 = np.empty((T, 1024), dtype=np.int16)
+    rc = lib.cvr_mid_planes(T, mid, colors_rows, m1, csel, m3)
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return m1, csel, m3
+
+
+def mid_edges_native(mid, T: int):
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    src = np.empty(1024 * T, dtype=np.int32)
+    dst = np.empty(1024 * T, dtype=np.int32)
+    rc = lib.cvr_mid_edges(T, mid, src, dst)
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return src, dst
 
 
 def euler_color_rows_native(src, dst, n_rows: int, tk: int, k: int):

@@ -238,7 +238,20 @@ def run_spmv_benchmark(
     norm_inf = float(row_abs.max())
     pi_scale = 1.0 / norm_inf if norm_inf > 0 else 1.0
 
-    if impl.startswith("sell"):
+    if impl in ("sell-routed", "routed"):
+        from cvr_tpu.formats.sell_routed import sell_pack_routed
+        from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
+
+        t0 = time.perf_counter()
+        sr = sell_pack_routed(csr)
+        preproc = time.perf_counter() - t0
+        padded = sr.T * 1024
+        sd = to_device_routed(sr)
+        xd = jnp.asarray(x)
+        kernel = spmv_routed
+        spmv_s = time_fn_iterated(kernel, sd, xd, iters=iters, scale=pi_scale)
+        y = np.asarray(jax.jit(kernel)(sd, xd))
+    elif impl.startswith("sell"):
         t0 = time.perf_counter()
         sm = sell_pack(csr, C=C or DEFAULT_C, sigma=sigma)
         preproc = time.perf_counter() - t0

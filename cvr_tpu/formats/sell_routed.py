@@ -109,22 +109,30 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         cols_flat = sm.cols_plane.reshape(-1).astype(np.int64)
         order = np.argsort(cols_flat, kind="stable")  # source stream
         sc = cols_flat[order]
-        # Greedy tile cutting: <=1024 elements, columns within one aligned
-        # 1024-wide window ([w8*128, w8*128 + 1024)).
-        starts = []
-        bases = []
-        t0 = 0
-        while t0 < N_plane:
-            w10 = int(sc[t0]) >> 10  # aligned 1024-column window
-            end_w = int(
-                np.searchsorted(sc, (w10 + 1) * 1024, side="left")
-            )
-            end = min(t0 + TILE, end_w)
-            starts.append(t0)
-            bases.append(w10)
-            t0 = end
-        starts.append(N_plane)
-        T_src = len(bases)
+        # Tile cutting, fully vectorized: cut at every aligned 1024-column
+        # window boundary, then every 1024 elements within a window.
+        wins = sc >> 10  # aligned window of each sorted element
+        nwin = int(wins[-1]) + 1 if sc.shape[0] else 0
+        wb = np.searchsorted(sc, np.arange(nwin + 1) * 1024)  # [nwin+1]
+        wcnt = np.diff(wb)
+        nz = wcnt > 0
+        tiles_per_win = -(-wcnt[nz] // TILE)
+        T_src = int(tiles_per_win.sum())
+        # per tile: its window id and start offset within the stream
+        win_of_tile = np.repeat(np.flatnonzero(nz), tiles_per_win)
+        first_tile = np.zeros(win_of_tile.shape[0], dtype=np.int64)
+        cum = np.cumsum(tiles_per_win)
+        first_of_win = np.zeros(nz.sum(), dtype=np.int64)
+        first_of_win[1:] = cum[:-1]
+        k_in_win = np.arange(T_src, dtype=np.int64) - np.repeat(
+            first_of_win, tiles_per_win
+        )
+        tile_start = wb[:-1][nz][  # start of window in stream
+            np.searchsorted(np.flatnonzero(nz), win_of_tile)
+        ] + k_in_win * TILE
+        tile_end = np.minimum(tile_start + TILE, wb[1:][nz][
+            np.searchsorted(np.flatnonzero(nz), win_of_tile)
+        ])
 
     with pt.phase("route_plan"):
         T = _round_up(max(T_src, S), 1024)
@@ -132,21 +140,36 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
             raise ValueError(
                 f"matrix too large for int16 route planes (T={T})"
             )
-        # source stream arrays, filler slots = -1
+        # source stream arrays, filler slots = -1 (vectorized fill)
         src_pos = np.full(T * TILE, -1, dtype=np.int64)
         li_flat = np.zeros(T * TILE, dtype=np.int16)
         w8_arr = np.zeros(T, dtype=np.int32)
-        for t in range(T_src):
-            s0, s1 = starts[t], starts[t + 1]
-            n = s1 - s0
-            base = t * TILE
-            src_pos[base : base + n] = order[s0:s1]
-            li_flat[base : base + n] = (
-                sc[s0:s1] - bases[t] * 1024
-            ).astype(np.int16)
-            if n < TILE:  # fillers stay in-window (offset of last col)
-                li_flat[base + n : base + TILE] = li_flat[base + n - 1]
-            w8_arr[t] = bases[t]
+        w8_arr[:T_src] = win_of_tile.astype(np.int32)
+        tlen = tile_end - tile_start  # [T_src]
+        tile_of_el = np.repeat(np.arange(T_src, dtype=np.int64), tlen)
+        starts_rep = np.repeat(tile_start, tlen)
+        j_in_tile = np.arange(int(tlen.sum()), dtype=np.int64) - (
+            np.repeat(np.cumsum(tlen) - tlen, tlen)
+        )
+        stream_idx = tile_of_el * TILE + j_in_tile
+        el = starts_rep + j_in_tile  # index into the sorted stream
+        src_pos[stream_idx] = order[el]
+        li_flat[stream_idx] = (
+            sc[el] - win_of_tile[tile_of_el] * 1024
+        ).astype(np.int16)
+        # fillers keep the offset of the tile's last real column
+        fill_tiles = np.flatnonzero(tlen < TILE)
+        if fill_tiles.shape[0]:
+            last_li = li_flat[fill_tiles * TILE + (tlen[fill_tiles] - 1)]
+            pads = TILE - tlen[fill_tiles]
+            ft_rep = np.repeat(fill_tiles, pads)
+            base_rep = np.repeat(tlen[fill_tiles], pads)
+            jj = np.arange(int(pads.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(pads) - pads, pads
+            )
+            li_flat[ft_rep * TILE + base_rep + jj] = np.repeat(
+                last_li, pads
+            )
         # perm: dest position (plane) -> source stream position
         perm = np.empty(T * TILE, dtype=np.int64)
         stream_of_plane = np.empty(N_plane, dtype=np.int64)

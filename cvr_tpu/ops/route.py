@@ -206,24 +206,29 @@ def plan_route(
         # tail positions [N, Np) map identically; they are don't-care.
         pass
 
-    src_tile = full // TILE  # source tile of the element destined to i
-    d_of_edge = np.arange(Np, dtype=np.int64) // TILE
-    colors = euler_color(
-        src_tile.astype(np.int32), d_of_edge.astype(np.int32), T, TILE
-    )
+    perm32 = full.astype(np.int32)
+    src_tile = perm32 >> 10  # source tile of the element destined to i
+    d_of_edge = np.repeat(np.arange(T, dtype=np.int32), TILE)
+    colors = euler_color(src_tile, d_of_edge, T, TILE)
+
+    from cvr_tpu import _native
+
+    if _native.available() and hasattr(_native, "route_planes_native"):
+        s1, mid, s3 = _native.route_planes_native(perm32, colors, T)
+        return RoutePlan(s1=s1, mid=mid, s3=s3, n=n)
 
     # stage 1: within source tile a, the element with color q sits at
     # in-tile offset (perm[i] % TILE).  s1[a, q] = that offset.
-    s1 = np.empty((T, TILE), dtype=np.int32)
-    s1[src_tile, colors] = (full % TILE).astype(np.int32)
+    s1 = np.empty((T, TILE), dtype=np.int16)
+    s1[src_tile, colors] = (perm32 & 1023).astype(np.int16)
     # middle: g1t[q, a] holds color-q element of source tile a; its dest
     # tile is d.  mid[q, d] = a.
-    mid = np.empty((TILE, T), dtype=np.int32)
-    mid[colors, d_of_edge] = src_tile.astype(np.int32)
+    mid = np.empty((TILE, T), dtype=np.int16)
+    mid[colors, d_of_edge] = src_tile.astype(np.int16)
     # stage 3: out position i (tile d, offset o) receives the color-q
     # element routed to tile d.  s3[d, o] = q.
-    s3 = np.empty((T, TILE), dtype=np.int32)
-    s3[d_of_edge, np.arange(Np) % TILE] = colors.astype(np.int32)
+    s3 = np.empty((T, TILE), dtype=np.int16)
+    s3[d_of_edge, np.arange(Np) & 1023] = colors.astype(np.int16)
     return RoutePlan(s1=s1, mid=mid, s3=s3, n=n)
 
 
@@ -268,33 +273,32 @@ def plan_mid_recursive(plan: RoutePlan):
       csel[cd*1024 + q, m] = source chunk ca
       m3[cd*1024 + q, f]   = chunk color m of the element ending at f
     """
-    mid = plan.mid  # [1024, T]
+    mid = np.ascontiguousarray(plan.mid, dtype=np.int16)  # [1024, T]
     T = mid.shape[1]
     if T % TILE:
         raise ValueError("recursive middle requires T % 1024 == 0")
     Tk = T // TILE
-    a = mid.astype(np.int64)  # [1024, T]: source tile per (q, d)
-    d = np.broadcast_to(np.arange(T, dtype=np.int64), (TILE, T))
-    ca = (a >> 10).astype(np.int32)
-    cd = (d >> 10).astype(np.int32)
-
     if Tk == 1:
         return None  # caller uses a single tileperm over rows
 
     from cvr_tpu import _native
 
-    if _native.available() and hasattr(_native, "euler_color_rows_native"):
-        colors = _native.euler_color_rows_native(
-            np.ascontiguousarray(ca.reshape(-1)),
-            np.ascontiguousarray(cd.reshape(-1)),
-            TILE,
-            Tk,
-            TILE,
-        ).reshape(TILE, T)
-    else:
-        colors = np.empty((TILE, T), dtype=np.int32)
-        for q in range(TILE):
-            colors[q] = euler_color_py(ca[q], cd[q], Tk, TILE)
+    native_ok = _native.available() and hasattr(
+        _native, "mid_planes_native"
+    )
+    if native_ok:
+        src, dst = _native.mid_edges_native(mid, T)
+        colors = _native.euler_color_rows_native(src, dst, TILE, Tk, TILE)
+        m1, csel, m3 = _native.mid_planes_native(mid, T, colors)
+        return {"m1": m1, "csel": csel, "m3": m3, "Tk": Tk}
+
+    a = mid.astype(np.int64)  # [1024, T]: source tile per (q, d)
+    d = np.broadcast_to(np.arange(T, dtype=np.int64), (TILE, T))
+    ca = (a >> 10).astype(np.int32)
+    cd = (d >> 10).astype(np.int32)
+    colors = np.empty((TILE, T), dtype=np.int32)
+    for q in range(TILE):
+        colors[q] = euler_color_py(ca[q], cd[q], Tk, TILE)
 
     q_grid = np.broadcast_to(
         np.arange(TILE, dtype=np.int64)[:, None], (TILE, T)

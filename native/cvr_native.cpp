@@ -535,6 +535,59 @@ int cvr_euler_color_rows(int64_t n_rows, int64_t tk, int32_t k,
   return 0;
 }
 
-int cvr_version() { return 3; }
+// Route plane construction (cvr_tpu/ops/route.py): one pass over the
+// permutation builds all three gather-form stage planes.  The scatters
+// are random-access; doing them in C avoids NumPy fancy-indexing
+// overhead on this host's single slow core.
+int cvr_route_planes(int64_t n, const int32_t* perm, const int32_t* colors,
+                     int64_t T, int16_t* s1, int16_t* mid, int16_t* s3) {
+  if (n != T * 1024) return fail("perm length must be T*1024");
+  for (int64_t i = 0; i < n; i++) {
+    int32_t p = perm[i];
+    int32_t q = colors[i];
+    int64_t a = (int64_t)(p >> 10);
+    int64_t d = i >> 10;
+    s1[a * 1024 + q] = (int16_t)(p & 1023);
+    mid[(int64_t)q * T + d] = (int16_t)a;
+    s3[d * 1024 + (i & 1023)] = (int16_t)q;
+  }
+  return 0;
+}
+
+// Recursive-middle planes: per-row chunk decomposition of mid (1024 x T).
+// colors_rows holds the per-row chunk colorings (1024*T entries).
+int cvr_mid_planes(int64_t T, const int16_t* mid, const int32_t* colors_rows,
+                   int16_t* m1, int16_t* csel, int16_t* m3) {
+  for (int64_t q = 0; q < 1024; q++) {
+    const int16_t* mrow = mid + q * T;
+    const int32_t* crow = colors_rows + q * T;
+    for (int64_t d = 0; d < T; d++) {
+      int64_t a = (int64_t)(uint16_t)mrow[d];
+      int64_t m = crow[d];
+      int64_t ca = a >> 10;
+      int64_t cd = d >> 10;
+      m1[(ca * 1024 + q) * 1024 + m] = (int16_t)(a & 1023);
+      csel[(cd * 1024 + q) * 1024 + m] = (int16_t)ca;
+      m3[(cd * 1024 + q) * 1024 + (d & 1023)] = (int16_t)m;
+    }
+  }
+  return 0;
+}
+
+// Chunk endpoints for the per-row colorings: ca = mid >> 10, cd = d >> 10.
+int cvr_mid_edges(int64_t T, const int16_t* mid, int32_t* src, int32_t* dst) {
+  for (int64_t q = 0; q < 1024; q++) {
+    const int16_t* mrow = mid + q * T;
+    int32_t* srow = src + q * T;
+    int32_t* drow = dst + q * T;
+    for (int64_t d = 0; d < T; d++) {
+      srow[d] = (int32_t)((uint16_t)mrow[d] >> 10);
+      drow[d] = (int32_t)(d >> 10);
+    }
+  }
+  return 0;
+}
+
+int cvr_version() { return 4; }
 
 }  // extern "C"
