@@ -47,9 +47,13 @@ def cmd_spmv(args) -> int:
     if args.load_packed:
         return _spmv_prepacked(args, coo)
 
-    impl = {"sell": "sell-xla", "sell-pallas": "sell-pallas", "csr": "csr"}[
-        args.format
-    ]
+    impl = {
+        "routed": "sell-routed",
+        "sell-routed": "sell-routed",
+        "sell": "sell-xla",
+        "sell-pallas": "sell-pallas",
+        "csr": "csr",
+    }[args.format]
     r = run_spmv_benchmark(
         coo,
         name=args.matrix,
@@ -61,11 +65,19 @@ def cmd_spmv(args) -> int:
     )
     r.print_report()
     if args.save_packed:
-        from cvr_tpu.formats.sell import sell_pack
+        if impl == "sell-routed":
+            from cvr_tpu.formats.sell_routed import (
+                save_routed,
+                sell_pack_routed,
+            )
 
-        sell_pack(coo.to_csr(), C=args.c or 1024, sigma=args.sigma).save(
-            args.save_packed
-        )
+            save_routed(sell_pack_routed(coo.to_csr()), args.save_packed)
+        else:
+            from cvr_tpu.formats.sell import sell_pack
+
+            sell_pack(
+                coo.to_csr(), C=args.c or 1024, sigma=args.sigma
+            ).save(args.save_packed)
         print(f"packed artifact saved to {args.save_packed}")
     return 0 if r.verified in (True, None) else 1
 
@@ -82,15 +94,25 @@ def _spmv_prepacked(args, coo) -> int:
     from cvr_tpu.ops.spmv import sell_spmv_xla, to_device
     from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
 
-    sm = SellMatrix.load(args.load_packed)
-    if sm.shape != coo.shape:
-        print("packed artifact shape mismatch")
-        return 1
-    sd = to_device(sm)
+    if args.format in ("routed", "sell-routed"):
+        from cvr_tpu.formats.sell_routed import load_routed
+        from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
+
+        srt = load_routed(args.load_packed)
+        if srt.shape != coo.shape:
+            print("packed artifact shape mismatch")
+            return 1
+        sd = to_device_routed(srt)
+        kernel = spmv_routed
+    else:
+        sm = SellMatrix.load(args.load_packed)
+        if sm.shape != coo.shape:
+            print("packed artifact shape mismatch")
+            return 1
+        sd = to_device(sm)
+        kernel = sell_spmv_xla
     x = np.ones(coo.shape[1], dtype=np.float32)
-    t = time_fn_iterated(
-        sell_spmv_xla, sd, jnp.asarray(x), iters=args.iters
-    )
+    t = time_fn_iterated(kernel, sd, jnp.asarray(x), iters=args.iters)
     print(
         f"[file: {args.matrix}] [packed: {args.load_packed}] "
         f"Pre-processing Time: 0.000 ms (loaded artifact)"
@@ -100,13 +122,13 @@ def _spmv_prepacked(args, coo) -> int:
     )
     print(
         f"[file: {args.matrix}] Throughput: "
-        f"{2 * sm.nnz / t / 1e9:.3f} GFlops (2*nnz)"
+        f"{2 * coo.nnz / t / 1e9:.3f} GFlops (2*nnz)"
     )
     if not args.no_verify:
         import jax
 
         csr = coo.to_csr()
-        y = np.asarray(jax.jit(sell_spmv_xla)(sd, jnp.asarray(x)))
+        y = np.asarray(jax.jit(kernel)(sd, jnp.asarray(x)))
         ok, nbad, mx = verify(
             y,
             spmv_golden_numpy(csr, x),
@@ -121,22 +143,28 @@ def _spmv_prepacked(args, coo) -> int:
 
 
 def _spmm(args, coo) -> int:
-    import jax
-
-    from cvr_tpu.bench.harness import detect_chip, HBM_BW, time_fn_iterated
-    from cvr_tpu.formats.sell import sell_pack
-    from cvr_tpu.ops.spmv import sell_spmm_xla, to_device
+    from cvr_tpu.bench.harness import time_fn_iterated
 
     csr = coo.to_csr()
     t0 = time.perf_counter()
-    sm = sell_pack(csr, C=args.c or 1024, sigma=args.sigma)
+    if args.format in ("routed", "sell-routed"):
+        from cvr_tpu.formats.sell_routed import sell_pack_routed
+        from cvr_tpu.ops.spmv_routed import spmm_routed, to_device_routed
+
+        sd = to_device_routed(sell_pack_routed(csr))
+        kernel = spmm_routed
+    else:
+        from cvr_tpu.formats.sell import sell_pack
+        from cvr_tpu.ops.spmv import sell_spmm_xla, to_device
+
+        sd = to_device(sell_pack(csr, C=args.c or 1024, sigma=args.sigma))
+        kernel = sell_spmm_xla
     preproc = time.perf_counter() - t0
-    sd = to_device(sm)
     X = np.ones((coo.shape[1], args.rhs), dtype=np.float32)
     import jax.numpy as jnp
 
     Xd = jnp.asarray(X)
-    t = time_fn_iterated(sell_spmm_xla, sd, Xd, iters=args.iters)
+    t = time_fn_iterated(kernel, sd, Xd, iters=args.iters)
     gflops = 2.0 * csr.nnz * args.rhs / t / 1e9
     print(
         f"[file: {args.matrix}] [rhs: {args.rhs}] "
@@ -159,7 +187,7 @@ def cmd_compare(args) -> int:
 
     coo = _load(args.matrix, args.pattern_values)
     results = []
-    for impl in ("csr", "sell-xla"):
+    for impl in ("csr", "sell-xla", "sell-routed"):
         try:
             r = run_spmv_benchmark(
                 coo, name=args.matrix, impl=impl, iters=args.iters
@@ -216,7 +244,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("spmv", help="convert + SpMV benchmark + verify")
     common(p)
     p.add_argument(
-        "--format", default="sell", choices=["sell", "sell-pallas", "csr"]
+        "--format",
+        default="routed",
+        choices=["routed", "sell-routed", "sell", "sell-pallas", "csr"],
     )
     p.add_argument("--rhs", type=int, default=1, help="K for SpMM")
     p.add_argument("--c", type=int, default=None, help="SELL lane count")

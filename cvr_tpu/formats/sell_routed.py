@@ -273,3 +273,53 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         convert_time=pt.total,
         convert_phases=dict(pt.phases),
     )
+
+
+def save_routed(sr: SellRouted, path) -> None:
+    """Persist the routed artifact (reference analogue: VHCC's binary
+    matrix cache, MatrixDataConverter.cpp:14-89) so the ~20 s compile of
+    the route amortizes across runs (CLI: --save-packed/--load-packed)."""
+    mid_arrays = {f"mid_{k}": v for k, v in sr.mid.items() if k not in ("kind", "Tk")}
+    y_arrays = {f"y_{k}": v for k, v in sr.y_ra.items() if k not in ("T", "Tp", "n", "mid_planes")}
+    ymid = sr.y_ra["mid_planes"]
+    ymid_arrays = {f"ymid_{k}": v for k, v in ymid.items() if k not in ("kind", "Tk")}
+    np.savez_compressed(
+        path,
+        w8=sr.w8, li=sr.li, vals_ss=sr.vals_ss, p3=sr.p3, emit=sr.emit,
+        extra_src=sr.extra_src, extra_row=sr.extra_row,
+        shape=np.asarray(sr.shape), nnz=np.int64(sr.nnz), T=np.int64(sr.T),
+        S=np.int64(sr.S), S_pad=np.int64(sr.S_pad),
+        nslices=np.int64(sr.nslices), H=np.int64(sr.H),
+        n_fillers=np.int64(sr.n_fillers),
+        mid_kind=np.bytes_(sr.mid["kind"].encode()),
+        mid_Tk=np.int64(sr.mid["Tk"]),
+        ymid_kind=np.bytes_(ymid["kind"].encode()),
+        ymid_Tk=np.int64(ymid["Tk"]),
+        y_T=np.int64(sr.y_ra["T"]), y_Tp=np.int64(sr.y_ra["Tp"]),
+        y_n=np.int64(sr.y_ra["n"]),
+        **mid_arrays, **y_arrays, **ymid_arrays,
+    )
+
+
+def load_routed(path) -> SellRouted:
+    z = np.load(path)
+    mid = {"kind": bytes(z["mid_kind"]).decode(), "Tk": int(z["mid_Tk"])}
+    for k in ("mid", "m1", "csel", "m3"):
+        if f"mid_{k}" in z:
+            mid[k] = z[f"mid_{k}"]
+    ymid = {"kind": bytes(z["ymid_kind"]).decode(), "Tk": int(z["ymid_Tk"])}
+    for k in ("mid", "m1", "csel", "m3"):
+        if f"ymid_{k}" in z:
+            ymid[k] = z[f"ymid_{k}"]
+    y_ra = {
+        "s1": z["y_s1"], "s3": z["y_s3"], "mid_planes": ymid,
+        "T": int(z["y_T"]), "Tp": int(z["y_Tp"]), "n": int(z["y_n"]),
+    }
+    return SellRouted(
+        w8=z["w8"], li=z["li"], mid=mid, vals_ss=z["vals_ss"], p3=z["p3"],
+        emit=z["emit"], y_ra=y_ra, extra_src=z["extra_src"],
+        extra_row=z["extra_row"], shape=tuple(int(v) for v in z["shape"]),
+        nnz=int(z["nnz"]), T=int(z["T"]), S=int(z["S"]),
+        S_pad=int(z["S_pad"]), nslices=int(z["nslices"]), H=int(z["H"]),
+        n_fillers=int(z["n_fillers"]),
+    )

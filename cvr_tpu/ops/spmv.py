@@ -193,7 +193,23 @@ def spmv(A, x, impl: str = "auto"):
 
 
 def spmm(A, X, impl: str = "auto"):
-    """Y = A @ X for dense X [ncols, K]."""
+    """Y = A @ X for dense X [ncols, K].
+
+    SellRouted inputs use K vmapped routed pipelines (also the safe path
+    for web-scale matrices: the XLA segment-sum SpMM can crash the TPU
+    worker there).
+    """
+    from cvr_tpu.formats.sell_routed import SellRouted
+    from cvr_tpu.ops.spmv_routed import (
+        SellRoutedDevice,
+        _jitted_spmm_routed,
+        to_device_routed,
+    )
+
+    if isinstance(A, SellRouted):
+        A = to_device_routed(A)
+    if isinstance(A, SellRoutedDevice):
+        return _jitted_spmm_routed()(A, jnp.asarray(X))
     if isinstance(A, SellMatrix):
         A = to_device(A)
     X = jnp.asarray(X)

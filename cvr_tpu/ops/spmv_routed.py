@@ -113,6 +113,25 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     return y
 
 
+def spmm_routed(sd: SellRoutedDevice, X: jax.Array) -> jax.Array:
+    """Y = A @ X for dense X [ncols, K] via K vmapped routed pipelines.
+
+    Scales linearly in K at the SpMV rate (the route planes are shared;
+    vmap batches every Pallas grid).  An MXU one-hot formulation of the
+    expand pass (gathering K-wide rows per window) is future work — the
+    XLA segment-sum SpMM path crashes the v5e TPU worker at web scale,
+    so this is also the safe path for large matrices.
+    """
+    return jax.vmap(lambda col: spmv_routed(sd, col), in_axes=1, out_axes=1)(
+        X
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_spmv_routed():
     return jax.jit(spmv_routed)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_spmm_routed():
+    return jax.jit(spmm_routed)

@@ -88,3 +88,44 @@ def test_expand_tiles_cover_plane():
     assert sr.w8.shape[0] == sr.T
     # every in-window offset must be a valid column offset
     assert sr.li.min() >= 0 and sr.li.max() < 1024
+
+
+def test_routed_spmm_vmap():
+    from cvr_tpu.ops.spmv import spmm
+
+    coo = rmat_matrix(scale=9, edge_factor=6, seed=4)
+    csr = coo.to_csr()
+    sr = sell_pack_routed(csr)
+    X = (
+        np.random.default_rng(1)
+        .standard_normal((coo.shape[1], 4))
+        .astype(np.float32)
+    )
+    Y = np.asarray(spmm(sr, X))
+    for k in range(4):
+        ok, nbad, maxrel = verify(
+            Y[:, k],
+            spmv_golden_numpy(csr, X[:, k]),
+            rtol=1e-4,
+            row_scale=spmv_row_scale(csr, X[:, k]),
+        )
+        assert ok, (k, nbad, maxrel)
+
+
+def test_routed_save_load(tmp_path):
+    from cvr_tpu.formats.sell_routed import load_routed, save_routed
+
+    coo = rmat_matrix(scale=9, edge_factor=6, seed=6)
+    csr = coo.to_csr()
+    sr = sell_pack_routed(csr)
+    p = tmp_path / "routed.npz"
+    save_routed(sr, p)
+    sr2 = load_routed(p)
+    x = (
+        np.random.default_rng(2)
+        .standard_normal(coo.shape[1])
+        .astype(np.float32)
+    )
+    y1 = np.asarray(spmv(sr, x))
+    y2 = np.asarray(spmv(sr2, x))
+    np.testing.assert_array_equal(y1, y2)
