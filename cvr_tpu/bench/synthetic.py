@@ -87,6 +87,23 @@ def web_google_like(seed: int = 42) -> COOMatrix:
     return rmat_matrix(scale=20, edge_factor=6, seed=seed)
 
 
+def wiki_talk_like(seed: int = 7) -> COOMatrix:
+    """A deterministic stand-in for wiki-Talk (2.39M x 2.39M, 5.02M nnz,
+    extreme in-degree skew — the matrix family where CVR's record/steal
+    machinery matters most, paper Table 2): steeper R-MAT quadrants
+    produce celebrity columns/rows with 10^4-10^5 nonzeros."""
+    return rmat_matrix(
+        scale=21, edge_factor=3, a=0.65, b=0.15, c=0.15, seed=seed
+    )
+
+
+def soc_livejournal_like(seed: int = 11) -> COOMatrix:
+    """Stand-in for soc-LiveJournal1-scale social graphs (4.8M x 4.8M,
+    69M nnz in the original; scaled to ~25M nnz to fit the int16 route
+    planes of a single chip)."""
+    return rmat_matrix(scale=22, edge_factor=6, seed=seed)
+
+
 def banded_matrix(
     n: int, bandwidth: int = 27, seed: int = 0, dtype=np.float32
 ) -> COOMatrix:

@@ -32,12 +32,30 @@ def default_suite():
     ]
 
 
+def cgo18_suite():
+    """Full-scale stand-ins for the CGO'18 headline domains."""
+    from cvr_tpu.bench.synthetic import (
+        banded_matrix,
+        web_google_like,
+        wiki_talk_like,
+    )
+
+    return [
+        ("web-Google-like", web_google_like),
+        ("wiki-Talk-like", wiki_talk_like),
+        ("banded-2M", lambda: banded_matrix(1 << 21, bandwidth=27)),
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mtx", nargs="*", default=None)
-    ap.add_argument("--impls", default="sell-xla,csr")
+    ap.add_argument("--impls", default="sell-routed,sell-xla,csr")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--out", default="results.csv")
+    ap.add_argument(
+        "--full", action="store_true", help="full-scale CGO'18 suite"
+    )
     args = ap.parse_args()
 
     from cvr_tpu.bench.harness import run_spmv_benchmark
@@ -46,6 +64,8 @@ def main() -> int:
 
     if args.mtx:
         suite = [(p, (lambda p=p: read_matrix_market(p))) for p in args.mtx]
+    elif args.full:
+        suite = cgo18_suite()
     else:
         suite = default_suite()
 
