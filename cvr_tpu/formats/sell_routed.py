@@ -24,7 +24,9 @@ data-dependent control flow.
 Constraints of the routed path (fall back to the XLA path otherwise):
   * C == 1024 (one VPU tile per slot);
   * route tiles T <= 32767 (int16 index planes) => ~33M stored nonzeros;
-  * ncols <= ~24M (x must fit VMEM as an (H, 128) table).
+  * no ncols limit beyond route tiles: x streams through VMEM in
+    8 MB segments selected per tile block (tiles are column-sorted,
+    so segment switches are monotone).
 """
 
 from __future__ import annotations
@@ -49,14 +51,16 @@ class SellRouted:
     """Host-side routed-SpMV artifact (NumPy planes; see to_device)."""
 
     # expand schedule
-    w8: np.ndarray  # (T,) int32 aligned window indices (x window = rows [8*w8, 8*w8+8))
+    w8: np.ndarray  # (T,) int32 segment-relative window indices
     li: np.ndarray  # (8, T, 128) int16 in-window offsets (stage-1 fused)
+    seg_blk: np.ndarray  # (T // TB,) int32 x-segment per tile block
     # middle route stage planes (see pallas_route.middle_pass)
     mid: dict
     # reduce pass
     vals_ss: np.ndarray  # (8, S_pad, 128) f32 value planes, stream layout
     p3: np.ndarray  # (8, S_pad, 128) int16 stage-3 plane
-    emit: np.ndarray  # (S_pad,) int32 slice id on slice-end rows, else -1
+    emit: np.ndarray  # (S_pad,) int32 group-local slice id on ends, -1 else
+    ycall_rows: np.ndarray  # (n_ycalls, 2) int64 padded (start, rows)
     # y combine
     y_ra: dict  # route_arrays for the y-route (y_sorted -> natural rows)
     extra_src: np.ndarray  # (n_extra,) int64 y_sorted flat positions
@@ -68,7 +72,8 @@ class SellRouted:
     S: int  # plane rows (slots)
     S_pad: int
     nslices: int
-    H: int  # rows of the x table (incl. 8 slack rows)
+    segw: int  # 1024-col windows per x-table segment
+    n_segs: int
     n_fillers: int
     convert_time: float = 0.0
     convert_phases: dict | None = None
@@ -100,13 +105,36 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
     if sm.C != TILE:
         raise ValueError("routed path requires C == 1024")
     pt = PhaseTimer()
+    from cvr_tpu.ops.pallas_route import CH, YB
+
     S = sm.n_slots
     nrows, ncols = sm.shape
-    N_plane = S * TILE
     nslices = sm.nslices
+    # Reduce-call grouping: YB slices per call (the per-call y block must
+    # fit VMEM); each group's plane-row range is padded with zero rows to
+    # a CH multiple so the reduce grid tiles cleanly.
+    n_ycalls = max(1, -(-nslices // YB))
+    offs = sm.slice_offsets.astype(np.int64)
+    gstart = offs[np.minimum(np.arange(n_ycalls) * YB, nslices)]
+    gend = offs[np.minimum((np.arange(n_ycalls) + 1) * YB, nslices)]
+    rc = gend - gstart
+    rcp = -(-rc // CH) * CH
+    gshift = np.zeros(n_ycalls, dtype=np.int64)
+    np.cumsum((rcp - rc)[:-1], out=gshift[1:])
+    # old plane row -> padded plane row
+    grp_of_row = np.searchsorted(gend, np.arange(S), side="right")
+    rmap = np.arange(S, dtype=np.int64) + gshift[
+        np.minimum(grp_of_row, n_ycalls - 1)
+    ]
+    S_padded = int(rcp.sum()) if S else 0
+    N_plane = S_padded * TILE
 
     with pt.phase("expand_tiles"):
-        cols_flat = sm.cols_plane.reshape(-1).astype(np.int64)
+        # columns at PADDED plane positions: inserted rows carry col 0 and
+        # val 0 (dest-side trash for the route).
+        cols_pad = np.zeros((S_padded, TILE), dtype=np.int64)
+        cols_pad[rmap] = sm.cols_plane.astype(np.int64)
+        cols_flat = cols_pad.reshape(-1)
         order = np.argsort(cols_flat, kind="stable")  # source stream
         sc = cols_flat[order]
         # Tile cutting, fully vectorized: cut at every aligned 1024-column
@@ -135,7 +163,30 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         ])
 
     with pt.phase("route_plan"):
-        T = _round_up(max(T_src, S), 1024)
+        from cvr_tpu.ops.pallas_route import SEGW, TB
+
+        # x-table segmentation: blocks of TB tiles must share a segment,
+        # so each segment's tile range is padded to a TB multiple.
+        nwin_total = -(-max(ncols, 1) // 1024)
+        segw = min(SEGW, _round_up(nwin_total, 8))
+        n_segs = -(-nwin_total // segw)
+        seg_of_tile = (win_of_tile // segw).astype(np.int64)
+        seg_counts = np.bincount(seg_of_tile, minlength=n_segs)
+        seg_padded = _round_up(seg_counts, TB) if False else (
+            -(-seg_counts // TB) * TB
+        )
+        seg_new_start = np.zeros(n_segs, dtype=np.int64)
+        np.cumsum(seg_padded[:-1], out=seg_new_start[1:])
+        seg_old_start = np.zeros(n_segs, dtype=np.int64)
+        np.cumsum(seg_counts[:-1], out=seg_old_start[1:])
+        tile_new = (
+            np.arange(T_src, dtype=np.int64)
+            - seg_old_start[seg_of_tile]
+            + seg_new_start[seg_of_tile]
+        )
+        T_src_p = int(seg_padded.sum())
+
+        T = _round_up(max(T_src_p, S_padded), 1024)
         if T > 32767:
             raise ValueError(
                 f"matrix too large for int16 route planes (T={T})"
@@ -144,9 +195,15 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         src_pos = np.full(T * TILE, -1, dtype=np.int64)
         li_flat = np.zeros(T * TILE, dtype=np.int16)
         w8_arr = np.zeros(T, dtype=np.int32)
-        w8_arr[:T_src] = win_of_tile.astype(np.int32)
+        w8_arr[tile_new] = (
+            win_of_tile - seg_of_tile * segw
+        ).astype(np.int32)
+        seg_blk = np.zeros(T // TB, dtype=np.int32)
+        seg_end_blk = (seg_new_start + seg_padded) // TB
+        for s in range(n_segs):  # n_segs is tiny
+            seg_blk[seg_new_start[s] // TB : seg_end_blk[s]] = s
         tlen = tile_end - tile_start  # [T_src]
-        tile_of_el = np.repeat(np.arange(T_src, dtype=np.int64), tlen)
+        tile_of_el = np.repeat(tile_new, tlen)
         starts_rep = np.repeat(tile_start, tlen)
         j_in_tile = np.arange(int(tlen.sum()), dtype=np.int64) - (
             np.repeat(np.cumsum(tlen) - tlen, tlen)
@@ -155,15 +212,18 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         el = starts_rep + j_in_tile  # index into the sorted stream
         src_pos[stream_idx] = order[el]
         li_flat[stream_idx] = (
-            sc[el] - win_of_tile[tile_of_el] * 1024
+            sc[el] - win_of_tile[np.repeat(
+                np.arange(T_src, dtype=np.int64), tlen
+            )] * 1024
         ).astype(np.int16)
         # fillers keep the offset of the tile's last real column
-        fill_tiles = np.flatnonzero(tlen < TILE)
+        fill_tiles = tile_new[np.flatnonzero(tlen < TILE)]
+        fill_len = tlen[np.flatnonzero(tlen < TILE)]
         if fill_tiles.shape[0]:
-            last_li = li_flat[fill_tiles * TILE + (tlen[fill_tiles] - 1)]
-            pads = TILE - tlen[fill_tiles]
+            last_li = li_flat[fill_tiles * TILE + (fill_len - 1)]
+            pads = TILE - fill_len
             ft_rep = np.repeat(fill_tiles, pads)
-            base_rep = np.repeat(tlen[fill_tiles], pads)
+            base_rep = np.repeat(fill_len, pads)
             jj = np.arange(int(pads.sum()), dtype=np.int64) - np.repeat(
                 np.cumsum(pads) - pads, pads
             )
@@ -197,28 +257,30 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         from cvr_tpu.ops.pallas_route import middle_planes
 
         mid = middle_planes(plan)
-        # stage 3 plane restricted to the real dest tiles (plane rows),
-        # padded to the reduce chunk.
-        S_pad = _round_up(S, ch)
-        p3 = np.zeros((S_pad, TILE), dtype=np.int16)
-        p3[:S] = plan.s3[:S].astype(np.int16)
+        # stage 3 plane restricted to the real dest tiles (plane rows).
+        S_pad = S_padded
+        p3 = plan.s3[:S_pad].astype(np.int16)
         p3_ss = np.ascontiguousarray(
             p3.reshape(S_pad, 8, 128).transpose(1, 0, 2)
         )
 
     with pt.phase("reduce_aux"):
         vals = np.zeros((S_pad, TILE), dtype=np.float32)
-        vals[:S] = sm.vals_plane.astype(np.float32)
+        vals[rmap] = sm.vals_plane.astype(np.float32)
         vals_ss = np.ascontiguousarray(
             vals.reshape(S_pad, 8, 128).transpose(1, 0, 2)
         )
+        # emissions carry the slice id LOCAL to the reduce-call group
         emit = np.full(S_pad, -1, dtype=np.int32)
-        ends = sm.slice_offsets[1:].astype(np.int64)  # first row AFTER
-        widths = np.diff(sm.slice_offsets.astype(np.int64))
+        ends = offs[1:]  # first row AFTER each slice
+        widths = np.diff(offs)
         nonempty = widths > 0
-        emit[ends[nonempty] - 1] = np.flatnonzero(nonempty).astype(
-            np.int32
-        )
+        sl = np.flatnonzero(nonempty).astype(np.int64)
+        emit[rmap[ends[nonempty] - 1]] = (sl % YB).astype(np.int32)
+        # per-call padded row ranges (start, rows) in the padded plane
+        ycall_rows = np.stack(
+            [gstart + gshift, rcp], axis=1
+        ).astype(np.int64)
 
     with pt.phase("y_route"):
         # y_sorted flat position of segment at sorted position g is g.
@@ -251,7 +313,6 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         extra_src = i_ * (yTp * 128) + sig * 128 + l_
         extra_row = seg_row[extra]
 
-    H = _round_up(_round_up(ncols, 128) // 128 + 8, 8)
     return SellRouted(
         w8=w8_arr,
         li=li_ss,
@@ -262,13 +323,16 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         y_ra=y_ra,
         extra_src=extra_src,
         extra_row=extra_row,
+        seg_blk=seg_blk,
+        ycall_rows=ycall_rows,
         shape=sm.shape,
         nnz=sm.nnz,
         T=T,
         S=S,
         S_pad=S_pad,
         nslices=nslices,
-        H=H,
+        segw=segw,
+        n_segs=n_segs,
         n_fillers=int((~real).sum()),
         convert_time=pt.total,
         convert_phases=dict(pt.phases),
@@ -285,11 +349,13 @@ def save_routed(sr: SellRouted, path) -> None:
     ymid_arrays = {f"ymid_{k}": v for k, v in ymid.items() if k not in ("kind", "Tk")}
     np.savez_compressed(
         path,
-        w8=sr.w8, li=sr.li, vals_ss=sr.vals_ss, p3=sr.p3, emit=sr.emit,
+        w8=sr.w8, li=sr.li, seg_blk=sr.seg_blk, ycall_rows=sr.ycall_rows,
+        vals_ss=sr.vals_ss, p3=sr.p3, emit=sr.emit,
         extra_src=sr.extra_src, extra_row=sr.extra_row,
         shape=np.asarray(sr.shape), nnz=np.int64(sr.nnz), T=np.int64(sr.T),
         S=np.int64(sr.S), S_pad=np.int64(sr.S_pad),
-        nslices=np.int64(sr.nslices), H=np.int64(sr.H),
+        nslices=np.int64(sr.nslices), segw=np.int64(sr.segw),
+        n_segs=np.int64(sr.n_segs),
         n_fillers=np.int64(sr.n_fillers),
         mid_kind=np.bytes_(sr.mid["kind"].encode()),
         mid_Tk=np.int64(sr.mid["Tk"]),
@@ -316,10 +382,13 @@ def load_routed(path) -> SellRouted:
         "T": int(z["y_T"]), "Tp": int(z["y_Tp"]), "n": int(z["y_n"]),
     }
     return SellRouted(
-        w8=z["w8"], li=z["li"], mid=mid, vals_ss=z["vals_ss"], p3=z["p3"],
+        w8=z["w8"], li=z["li"], seg_blk=z["seg_blk"],
+        ycall_rows=z["ycall_rows"], mid=mid,
+        vals_ss=z["vals_ss"], p3=z["p3"],
         emit=z["emit"], y_ra=y_ra, extra_src=z["extra_src"],
         extra_row=z["extra_row"], shape=tuple(int(v) for v in z["shape"]),
         nnz=int(z["nnz"]), T=int(z["T"]), S=int(z["S"]),
-        S_pad=int(z["S_pad"]), nslices=int(z["nslices"]), H=int(z["H"]),
+        S_pad=int(z["S_pad"]), nslices=int(z["nslices"]),
+        segw=int(z["segw"]), n_segs=int(z["n_segs"]),
         n_fillers=int(z["n_fillers"]),
     )

@@ -59,6 +59,9 @@ def _qc_for(K: int) -> int:
     return 8
 # Plane rows (tiles) per grid step in the reduce kernel.
 CH = int(os.environ.get("CVR_CH", "128"))
+# Slices per reduce call: the call's y block (8, YB, 128) lives whole in
+# VMEM (4 MB), so matrices with nslices > YB run several reduce calls.
+YB = 1024
 # Tiles per grid step in the expand kernel (per-tile windows force a loop).
 TB = int(os.environ.get("CVR_TB", "128"))
 
@@ -200,11 +203,19 @@ def groupperm_ss(data: jax.Array, idx: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _expand_kernel(w10_ref, li_ref, x2_ref, o_ref):
+# Windows per x-table segment: the expand kernel sees x through one
+# (SEGW*8, 128) VMEM block (4 MB; Mosaic double-buffers it) selected per
+# grid block via a scalar-prefetched index_map; tiles are column-sorted,
+# so segment switches are monotone and x streams through VMEM exactly
+# once even when ncols*4 bytes far exceeds VMEM.
+SEGW = 1024
+
+
+def _expand_kernel(w10_ref, seg_ref, li_ref, x2_ref, o_ref):
     # Mosaic requires dynamic tile-axis indices to be provably 8-aligned:
     # tiles are processed in groups of 8 (aligned loads/stores) and the x
-    # window base is stored as a 1024-column window INDEX (w10), so
-    # base = w10*8 is provably a multiple of 8 rows of the (H,128) table.
+    # window base is stored as a segment-relative 1024-column window
+    # INDEX (w10), so base = w10*8 is provably a multiple of 8 rows.
     blk = pl.program_id(0)
 
     def tgroup(tg, _):
@@ -230,53 +241,60 @@ def _expand_kernel(w10_ref, li_ref, x2_ref, o_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _expand_call(T: int, H: int, interpret: bool):
+def _expand_call(T: int, n_segs: int, segw: int, interpret: bool):
     grid = T // TB
     spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (8, TB, 128), lambda i, w10: (0, i, 0),
+                (8, TB, 128), lambda i, w10, seg: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (H, 128), lambda i, w10: (0, 0), memory_space=pltpu.VMEM
+                (segw * 8, 128),
+                lambda i, w10, seg: (seg[i], 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, TB, 128), lambda i, w10: (0, i, 0), memory_space=pltpu.VMEM
+            (8, TB, 128),
+            lambda i, w10, seg: (0, i, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
 
-    def fn(w10, li, x2):
+    def fn(w10, seg, li, x2):
         return pl.pallas_call(
             _expand_kernel,
             grid_spec=spec,
             out_shape=jax.ShapeDtypeStruct((8, T, 128), jnp.float32),
             interpret=interpret,
-        )(w10, li, x2)
+        )(w10, seg, li, x2)
 
     return jax.jit(fn)
 
 
-def expand(w10: jax.Array, li: jax.Array, x2: jax.Array) -> jax.Array:
+def expand(
+    w10: jax.Array, seg: jax.Array, li: jax.Array, x2: jax.Array,
+    segw: int,
+) -> jax.Array:
     """Windowed gather producing the expanded x stream (+ fused stage 1).
 
-    w10: (T,) int32 aligned window indices (window = x2[8*w10 : 8*w10+8],
-         i.e. columns [1024*w10, 1024*(w10+1)));
+    w10: (T,) int32 segment-relative window indices in [0, segw)
+         (window = columns [1024*(seg*segw + w10), +1024));
+    seg: (T // TB,) int32 x-table segment per grid block (tile blocks
+         never straddle segments — the pack pads them to TB);
     li:  (8, T, 128) int16 in [0, 1024) — in-window offsets (stage-1
          composed), stream layout;
-    x2:  (H, 128) f32 — x zero-padded; H a multiple of 8.
+    x2:  (n_segs * segw * 8, 128) f32 — x zero-padded to whole segments.
     Returns g1 (8, T, 128).
     """
     T = w10.shape[0]
-    Tp = _round_up(T, TB)
-    if Tp != T:
-        w10 = jnp.pad(w10, (0, Tp - T))
-        li = jnp.pad(li, ((0, 0), (0, Tp - T), (0, 0)))
-    out = _expand_call(Tp, x2.shape[0], use_interpret())(w10, li, x2)
-    return out[:, :T]
+    if T % TB:
+        raise ValueError("expand tiles must be padded to TB by the pack")
+    n_segs = x2.shape[0] // (segw * 8)
+    return _expand_call(T, n_segs, segw, use_interpret())(w10, seg, li, x2)
 
 
 # ---------------------------------------------------------------------------

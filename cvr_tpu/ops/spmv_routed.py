@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cvr_tpu.formats.sell_routed import SellRouted
 from cvr_tpu.ops.pallas_route import (
@@ -37,6 +38,7 @@ from cvr_tpu.ops.pallas_route import (
     data_fields=[
         "w8",
         "li",
+        "seg_blk",
         "mid",
         "vals_ss",
         "p3",
@@ -45,17 +47,22 @@ from cvr_tpu.ops.pallas_route import (
         "extra_src",
         "extra_row",
     ],
-    meta_fields=["shape", "T", "S", "S_pad", "nslices", "H"],
+    meta_fields=[
+        "shape", "T", "S", "S_pad", "nslices", "segw", "n_segs",
+        "ycall_rows",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class SellRoutedDevice:
     w8: jax.Array
     li: jax.Array
+    seg_blk: jax.Array
     mid: RouteMidDevice
     vals_ss: jax.Array
     p3: jax.Array
     emit: jax.Array
     yroute: RouteDevice
+    ycall_rows: tuple
     extra_src: jax.Array
     extra_row: jax.Array
     shape: tuple[int, int]
@@ -63,7 +70,8 @@ class SellRoutedDevice:
     S: int
     S_pad: int
     nslices: int
-    H: int
+    segw: int
+    n_segs: int
 
 
 def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
@@ -71,11 +79,15 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
     return SellRoutedDevice(
         w8=put(sr.w8),
         li=put(sr.li),
+        seg_blk=put(sr.seg_blk),
         mid=mid_to_device(sr.mid, device),
         vals_ss=put(sr.vals_ss),
         p3=put(sr.p3),
         emit=put(sr.emit),
         yroute=route_to_device(sr.y_ra, device),
+        ycall_rows=tuple(
+            (int(a), int(b)) for a, b in np.asarray(sr.ycall_rows)
+        ),
         extra_src=put(sr.extra_src),
         extra_row=put(sr.extra_row),
         shape=sr.shape,
@@ -83,7 +95,8 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
         S=sr.S,
         S_pad=sr.S_pad,
         nslices=sr.nslices,
-        H=sr.H,
+        segw=sr.segw,
+        n_segs=sr.n_segs,
     )
 
 
@@ -91,13 +104,32 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     """y = A @ x via the compiled route (jit-compatible)."""
     nrows, ncols = sd.shape
     x = x.astype(jnp.float32)
-    x2 = jnp.pad(x, (0, sd.H * 128 - ncols)).reshape(sd.H, 128)
+    hrows = sd.n_segs * sd.segw * 8
+    x2 = jnp.pad(x, (0, hrows * 128 - ncols)).reshape(hrows, 128)
 
-    g1 = expand(sd.w8, sd.li, x2)  # (8, T, 128)
+    g1 = expand(sd.w8, sd.seg_blk, sd.li, x2, sd.segw)  # (8, T, 128)
     gxr = middle_pass(g1, sd.mid)[:, : sd.S_pad]
-    ys = reduce_slices(
-        sd.emit, sd.vals_ss, gxr, sd.p3, sd.nslices
-    )  # (8, nslices, 128)
+    # One reduce call per group of YB slices (the per-call y block must
+    # fit VMEM whole); group plane-row ranges are CH-padded by the pack.
+    from cvr_tpu.ops.pallas_route import YB
+
+    parts = []
+    for j, (r0, nr) in enumerate(sd.ycall_rows):
+        nsl = min(YB, sd.nslices - j * YB)
+        if nr == 0:
+            # a group of zero-width slices (all-empty rows): y is zero
+            parts.append(jnp.zeros((8, nsl, 128), jnp.float32))
+            continue
+        parts.append(
+            reduce_slices(
+                sd.emit[r0 : r0 + nr],
+                sd.vals_ss[:, r0 : r0 + nr],
+                gxr[:, r0 : r0 + nr],
+                sd.p3[:, r0 : r0 + nr],
+                nsl,
+            )
+        )
+    ys = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
     # y-route: per-slice lane sums -> natural row order.  The reduce
     # output (8, nslices, 128) IS the route's stream layout (tile = slice,

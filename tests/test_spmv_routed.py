@@ -129,3 +129,26 @@ def test_routed_save_load(tmp_path):
     y1 = np.asarray(spmv(sr, x))
     y2 = np.asarray(spmv(sr2, x))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_routed_multisegment_x_table():
+    """ncols large enough that x streams through multiple VMEM segments."""
+    rng = np.random.default_rng(9)
+    nrows, ncols = 4000, 1_300_000  # ~1.24M cols -> 2 x-table segments
+    nnz = 40_000
+    rows = rng.integers(0, nrows, nnz).astype(np.int64)
+    cols = rng.integers(0, ncols, nnz).astype(np.int64)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    coo = COOMatrix(rows=rows, cols=cols, vals=vals, shape=(nrows, ncols))
+    csr = coo.to_csr()
+    sr = sell_pack_routed(csr)
+    assert sr.n_segs >= 2, sr.n_segs
+    x = rng.standard_normal(ncols).astype(np.float32)
+    y = np.asarray(spmv(sr, x))
+    ok, nbad, maxrel = verify(
+        y,
+        spmv_golden_numpy(csr, x),
+        rtol=1e-4,
+        row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok, (nbad, maxrel)
