@@ -121,3 +121,32 @@ class TestPowerIteration:
         evals = np.linalg.eigvalsh(A.toarray())
         lam_ref = evals[np.argmax(np.abs(evals))]
         assert abs(abs(float(lam)) - abs(lam_ref)) / abs(lam_ref) < 1e-3
+
+
+def test_pagerank_routed():
+    import numpy as np
+
+    from cvr_tpu.formats.coo import COOMatrix
+    from cvr_tpu.formats.sell_routed import sell_pack_routed
+    from cvr_tpu.models.pagerank import pagerank_routed
+    from cvr_tpu.ops.spmv_routed import to_device_routed
+
+    rng = np.random.default_rng(1)
+    n = 1500
+    rows = np.repeat(np.arange(n, dtype=np.int32), 6)
+    cols = rng.integers(0, n, size=6 * n).astype(np.int32)
+    adj = COOMatrix(
+        rows, cols, np.ones(6 * n, dtype=np.float32), (n, n)
+    ).sum_duplicates()
+    deg = np.zeros(n)
+    np.add.at(deg, adj.rows, adj.vals)
+    adjT = COOMatrix(adj.cols, adj.rows, adj.vals, (n, n))
+    sdT = to_device_routed(sell_pack_routed(adjT.to_csr()))
+    import jax.numpy as jnp
+
+    p, iters, delta = pagerank_routed(
+        sdT, out_degree=jnp.asarray(deg.astype(np.float32)), tol=1e-8
+    )
+    p = np.asarray(p)
+    assert abs(p.sum() - 1.0) < 1e-3
+    assert (p >= -1e-7).all()
