@@ -60,8 +60,9 @@ def _qc_for(K: int) -> int:
 # Plane rows (tiles) per grid step in the reduce kernel.
 CH = int(os.environ.get("CVR_CH", "128"))
 # Slices per reduce call: the call's y block (8, YB, 128) lives whole in
-# VMEM (4 MB), so matrices with nslices > YB run several reduce calls.
-YB = 1024
+# VMEM, so matrices with nslices > YB run several reduce calls.  512
+# slices = 2 MB leaves room for the fused-M3 reduce's 4 MB mstream block.
+YB = 512
 # Tiles per grid step in the expand kernel (per-tile windows force a loop).
 TB = int(os.environ.get("CVR_TB", "128"))
 
@@ -416,6 +417,153 @@ def reduce_slices(
         raise ValueError("emit length must be padded to a multiple of CH")
     nsp = _round_up(max(nslices, 8), 8)
     out = _reduce_call(S_pad, nsp, use_interpret())(emit, vals, gx, p3)
+    return out[:, :nslices]
+
+
+# ---------------------------------------------------------------------------
+# reduce_m3: the reduce pass consuming the MSTREAM directly — the route's
+# M3 stage (within-slab gather) and the mstream->stream relayout run
+# in-kernel, saving a 58 MB HBM round trip per SpMV.  Each grid step
+# covers 128 plane rows = one f-row of every q-slab of one d-chunk, so
+# the 4 MB mstream chunk block is reused for 8 consecutive steps.
+# Requires CH == 128.
+# ---------------------------------------------------------------------------
+
+
+def _reduce_m3_kernel(
+    ofs: int, emit_ref, m_ref, m3_ref, v_ref, p3_ref, y_ref, acc_ref, p_ref
+):
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    # M3: within-slab gather for this step's f-row, all 1024 q-slabs.
+    idx3 = m3_ref[0].astype(jnp.int32)  # (1024, 128) [q, fL]
+    lo3 = jnp.bitwise_and(idx3, 127)
+    hi3 = jax.lax.shift_right_logical(idx3, 7)
+    g = jnp.zeros((1024, 128), jnp.float32)
+    for s in range(8):
+        cand = jnp.take_along_axis(m_ref[s], lo3, axis=1)
+        g = jnp.where(hi3 == s, cand, g)
+    # relayout to stream tiles: t2[qh, fL, ql] = g[qh*128+ql, fL]
+    t2 = jnp.transpose(g.reshape(8, 128, 128), (0, 2, 1))
+
+    # Stage-3 (p3) gather + FMA at full width, staged through scratch.
+    for i in range(8):
+        idx = p3_ref[i].astype(jnp.int32)
+        lo = jnp.bitwise_and(idx, 127)
+        hi = jax.lax.shift_right_logical(idx, 7)
+        acc = jnp.zeros(lo.shape, jnp.float32)
+        for s in range(8):
+            cand = jnp.take_along_axis(t2[s], lo, axis=1)
+            acc = jnp.where(hi == s, cand, acc)
+        p_ref[i] = acc * v_ref[i]
+
+    # Sequential per-tile accumulation with slice-end emissions.
+    def rgroup(rg, _):
+        r8 = pl.multiple_of(rg * 8, 8)
+        p8 = p_ref[:, pl.ds(r8, 8), :]
+        for j in range(8):
+            acc_ref[...] += p8[:, j, :]
+            dest = emit_ref[blk * CH + rg * 8 + j]
+
+            @pl.when(dest >= 0)
+            def _():
+                d8 = pl.multiple_of(
+                    jax.lax.shift_right_logical(dest, 3) * 8, 8
+                )
+                cur = y_ref[:, pl.ds(d8, 8), :]
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 8, 128), 1)
+                    == (dest - d8)[None, None, None]
+                )
+                y_ref[:, pl.ds(d8, 8), :] = jnp.where(
+                    sel, acc_ref[...][:, None, :], cur
+                )
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        return 0
+
+    jax.lax.fori_loop(0, CH // 8, rgroup, 0, unroll=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _reduce_m3_call(
+    S_rows: int, nslices: int, ofs: int, Tslabs: int, interpret: bool
+):
+    if CH != 128:
+        raise ValueError("reduce_m3 requires CH == 128")
+    grid = S_rows // CH
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, 1024, 128),
+                lambda i, e: (0, (ofs + i) // 8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1024, 128),
+                lambda i, e: ((ofs + i) % 8, (ofs + i) // 8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, e: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, e: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, nslices, 128), lambda i, e: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, CH, 128), jnp.float32),
+        ],
+    )
+
+    def fn(emit, m, m3, vals, p3):
+        return pl.pallas_call(
+            functools.partial(_reduce_m3_kernel, ofs),
+            grid_spec=spec,
+            out_shape=jax.ShapeDtypeStruct((8, nslices, 128), jnp.float32),
+            interpret=interpret,
+        )(emit, m, m3, vals, p3)
+
+    return jax.jit(fn)
+
+
+def reduce_m3_slices(
+    emit: jax.Array,
+    m: jax.Array,
+    m3: jax.Array,
+    vals: jax.Array,
+    p3: jax.Array,
+    nslices: int,
+    ofs: int,
+) -> jax.Array:
+    """Fused M3 + relayout + stage-3 + per-slice reduce.
+
+    emit/vals/p3 are this call's plane-row slices ((8, nr, 128) etc.);
+    m/m3 are the FULL mstream and M3 planes (8, Tk*1024, 128); ofs is the
+    call's first plane row divided by CH (so in-kernel chunk math lines
+    up with global d-chunks).
+    """
+    S_rows = emit.shape[0]
+    if S_rows % CH:
+        raise ValueError("emit length must be a multiple of CH")
+    nsp = _round_up(max(nslices, 8), 8)
+    out = _reduce_m3_call(
+        S_rows, nsp, ofs, m.shape[1], use_interpret()
+    )(emit, m, m3, vals, p3)
     return out[:, :nslices]
 
 

@@ -25,12 +25,15 @@ from cvr_tpu.ops.pallas_route import (
     RouteDevice,
     RouteMidDevice,
     apply_route_stream,
+    chunksel,
     expand,
-    middle_pass,
     mid_to_device,
-    reduce_slices,
+    reduce_m3_slices,
     route_to_device,
+    stream_to_mstream,
+    tileperm_ss,
 )
+from cvr_tpu.ops.pallas_route import _mid_fused_call, use_interpret
 
 
 @functools.partial(
@@ -108,10 +111,19 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     x2 = jnp.pad(x, (0, hrows * 128 - ncols)).reshape(hrows, 128)
 
     g1 = expand(sd.w8, sd.seg_blk, sd.li, x2, sd.segw)  # (8, T, 128)
-    gxr = middle_pass(g1, sd.mid)[:, : sd.S_pad]
+    # Route middle up to the mstream (M3 is fused into the reduce).
+    Tk = sd.mid.Tk
+    if sd.mid.kind == "rec":
+        m = _mid_fused_call(Tk, "m1", use_interpret())(g1, sd.mid.m1)
+        m = chunksel(m, sd.mid.csel, Tk)
+        m3 = sd.mid.m3
+    else:  # flat: the relayout alone; the within-slab perm IS "mid"
+        m = stream_to_mstream(g1, Tk)
+        m3 = sd.mid.mid
     # One reduce call per group of YB slices (the per-call y block must
-    # fit VMEM whole); group plane-row ranges are CH-padded by the pack.
-    from cvr_tpu.ops.pallas_route import YB
+    # fit VMEM whole); group plane-row ranges are CH-padded by the pack
+    # and CH-aligned globally, so the in-kernel d-chunk math lines up.
+    from cvr_tpu.ops.pallas_route import CH, YB
 
     parts = []
     for j, (r0, nr) in enumerate(sd.ycall_rows):
@@ -121,12 +133,14 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
             parts.append(jnp.zeros((8, nsl, 128), jnp.float32))
             continue
         parts.append(
-            reduce_slices(
+            reduce_m3_slices(
                 sd.emit[r0 : r0 + nr],
+                m,
+                m3,
                 sd.vals_ss[:, r0 : r0 + nr],
-                gxr[:, r0 : r0 + nr],
                 sd.p3[:, r0 : r0 + nr],
                 nsl,
+                ofs=r0 // CH,
             )
         )
     ys = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
