@@ -106,7 +106,16 @@ def get_lib():
     lib.cvr_mid_planes.argtypes = [_i64, _i16p, _i32p, _i16p, _i16p, _i16p]
     lib.cvr_mid_edges.restype = ctypes.c_int
     lib.cvr_mid_edges.argtypes = [_i64, _i16p, _i32p, _i32p]
-    if lib.cvr_version() != 4:
+    lib.cvr_window_minmax.restype = ctypes.c_int
+    lib.cvr_window_minmax.argtypes = [
+        _i64, _i64, _i64p, _i32p, _i64p, _i64, _i32p, _i32p,
+    ]
+    lib.cvr_window_fill_ss.restype = ctypes.c_int
+    lib.cvr_window_fill_ss.argtypes = [
+        _i64, _i64, _i64p, _i32p, _f32p, _i64p, _i64p, _i32p, _i64,
+        _f32p, _i16p,
+    ]
+    if lib.cvr_version() != 5:
         return None
     _LIB = lib
     return _LIB
@@ -316,6 +325,52 @@ def euler_color_rows_native(src, dst, n_rows: int, tk: int, k: int):
     if rc != 0:
         raise NativeError(native_error(lib))
     return color
+
+
+def window_minmax_native(nrows, C, rowptr, csr_cols, slice_offsets):
+    """Per-plane-row column min/max straight from CSR (SELL-W pass 1)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    S = int(slice_offsets[-1])
+    wmin = np.empty(S, dtype=np.int32)
+    wmax = np.empty(S, dtype=np.int32)
+    rc = lib.cvr_window_minmax(
+        nrows, C,
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(csr_cols, dtype=np.int32),
+        np.ascontiguousarray(slice_offsets, dtype=np.int64),
+        S, wmin, wmax,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return wmin, wmax
+
+
+def window_fill_ss_native(
+    nrows, C, rowptr, csr_cols, csr_vals, slice_offsets, rmap, base_col,
+    S_pad,
+):
+    """Value + in-window-offset planes, directly in padded sublane-split
+    stream layout (SELL-W pass 2)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    vals_ss = np.zeros((8, S_pad, 128), dtype=np.float32)
+    li_ss = np.zeros((8, S_pad, 128), dtype=np.int16)
+    rc = lib.cvr_window_fill_ss(
+        nrows, C,
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(csr_cols, dtype=np.int32),
+        np.ascontiguousarray(csr_vals, dtype=np.float32),
+        np.ascontiguousarray(slice_offsets, dtype=np.int64),
+        np.ascontiguousarray(rmap, dtype=np.int64),
+        np.ascontiguousarray(base_col, dtype=np.int32),
+        S_pad, vals_ss, li_ss,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return vals_ss, li_ss
 
 
 def available() -> bool:

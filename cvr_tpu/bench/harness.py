@@ -238,7 +238,41 @@ def run_spmv_benchmark(
     norm_inf = float(row_abs.max())
     pi_scale = 1.0 / norm_inf if norm_inf > 0 else 1.0
 
-    if impl in ("sell-routed", "routed"):
+    if impl in ("sell-window", "window"):
+        from cvr_tpu.formats.sell_window import sell_pack_window
+        from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
+
+        t0 = time.perf_counter()
+        sw = sell_pack_window(csr)
+        preproc = time.perf_counter() - t0
+        padded = sw.padded_nnz
+        sd = to_device_window(sw)
+        xd = jnp.asarray(x)
+        kernel = spmv_window
+        spmv_s = time_fn_iterated(kernel, sd, xd, iters=iters, scale=pi_scale)
+        y = np.asarray(jax.jit(kernel)(sd, xd))
+    elif impl == "auto":
+        from cvr_tpu.formats import pack_auto
+        from cvr_tpu.formats.sell_routed import SellRouted
+        from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
+        from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
+
+        t0 = time.perf_counter()
+        packed = pack_auto(csr)
+        preproc = time.perf_counter() - t0
+        padded = packed.padded_nnz if hasattr(packed, "padded_nnz") else (
+            packed.T * 1024
+        )
+        if isinstance(packed, SellRouted):
+            sd = to_device_routed(packed)
+            kernel = spmv_routed
+        else:
+            sd = to_device_window(packed)
+            kernel = spmv_window
+        xd = jnp.asarray(x)
+        spmv_s = time_fn_iterated(kernel, sd, xd, iters=iters, scale=pi_scale)
+        y = np.asarray(jax.jit(kernel)(sd, xd))
+    elif impl in ("sell-routed", "routed"):
         from cvr_tpu.formats.sell_routed import sell_pack_routed
         from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
 

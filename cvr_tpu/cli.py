@@ -48,8 +48,11 @@ def cmd_spmv(args) -> int:
         return _spmv_prepacked(args, coo)
 
     impl = {
+        "auto": "auto",
         "routed": "sell-routed",
         "sell-routed": "sell-routed",
+        "window": "sell-window",
+        "sell-window": "sell-window",
         "sell": "sell-xla",
         "sell-pallas": "sell-pallas",
         "csr": "csr",
@@ -72,6 +75,19 @@ def cmd_spmv(args) -> int:
             )
 
             save_routed(sell_pack_routed(coo.to_csr()), args.save_packed)
+        elif impl == "sell-window":
+            from cvr_tpu.formats.sell_window import sell_pack_window
+
+            sell_pack_window(coo.to_csr()).save(args.save_packed)
+        elif impl == "auto":
+            from cvr_tpu.formats import pack_auto
+            from cvr_tpu.formats.sell_routed import SellRouted, save_routed
+
+            packed = pack_auto(coo.to_csr())
+            if isinstance(packed, SellRouted):
+                save_routed(packed, args.save_packed)
+            else:
+                packed.save(args.save_packed)
         else:
             from cvr_tpu.formats.sell import sell_pack
 
@@ -94,7 +110,17 @@ def _spmv_prepacked(args, coo) -> int:
     from cvr_tpu.ops.spmv import sell_spmv_xla, to_device
     from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
 
-    if args.format in ("routed", "sell-routed"):
+    fmt = args.format
+    if fmt == "auto":
+        # sniff the artifact kind from its keys
+        z = np.load(args.load_packed)
+        if "mid_kind" in z.files:
+            fmt = "routed"
+        elif "w10" in z.files:
+            fmt = "window"
+        else:
+            fmt = "sell"
+    if fmt in ("routed", "sell-routed"):
         from cvr_tpu.formats.sell_routed import load_routed
         from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
 
@@ -104,6 +130,16 @@ def _spmv_prepacked(args, coo) -> int:
             return 1
         sd = to_device_routed(srt)
         kernel = spmv_routed
+    elif fmt in ("window", "sell-window"):
+        from cvr_tpu.formats.sell_window import SellWindow
+        from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
+
+        sww = SellWindow.load(args.load_packed)
+        if sww.shape != coo.shape:
+            print("packed artifact shape mismatch")
+            return 1
+        sd = to_device_window(sww)
+        kernel = spmv_window
     else:
         sm = SellMatrix.load(args.load_packed)
         if sm.shape != coo.shape:
@@ -187,7 +223,7 @@ def cmd_compare(args) -> int:
 
     coo = _load(args.matrix, args.pattern_values)
     results = []
-    for impl in ("csr", "sell-xla", "sell-routed"):
+    for impl in ("csr", "sell-xla", "auto"):
         try:
             r = run_spmv_benchmark(
                 coo, name=args.matrix, impl=impl, iters=args.iters
@@ -245,8 +281,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(p)
     p.add_argument(
         "--format",
-        default="routed",
-        choices=["routed", "sell-routed", "sell", "sell-pallas", "csr"],
+        default="auto",
+        choices=[
+            "auto", "routed", "sell-routed", "window", "sell-window",
+            "sell", "sell-pallas", "csr",
+        ],
     )
     p.add_argument("--rhs", type=int, default=1, help="K for SpMM")
     p.add_argument("--c", type=int, default=None, help="SELL lane count")

@@ -159,17 +159,27 @@ def spmv(A, x, impl: str = "auto"):
     automatically for SellRouted inputs.
     """
     from cvr_tpu.formats.sell_routed import SellRouted
+    from cvr_tpu.formats.sell_window import SellWindow
     from cvr_tpu.ops import pallas_spmv
     from cvr_tpu.ops.spmv_routed import (
         SellRoutedDevice,
         _jitted_spmv_routed,
         to_device_routed,
     )
+    from cvr_tpu.ops.spmv_window import (
+        SellWindowDevice,
+        _jitted_spmv_window,
+        to_device_window,
+    )
 
     if isinstance(A, SellRouted):
         A = to_device_routed(A)
+    if isinstance(A, SellWindow):
+        A = to_device_window(A)
     if isinstance(A, SellRoutedDevice):
         return _jitted_spmv_routed()(A, jnp.asarray(x))
+    if isinstance(A, SellWindowDevice):
+        return _jitted_spmv_window()(A, jnp.asarray(x))
     if isinstance(A, SellMatrix):
         A = to_device(A)
     x = jnp.asarray(x)
@@ -200,16 +210,26 @@ def spmm(A, X, impl: str = "auto"):
     worker there).
     """
     from cvr_tpu.formats.sell_routed import SellRouted
+    from cvr_tpu.formats.sell_window import SellWindow
     from cvr_tpu.ops.spmv_routed import (
         SellRoutedDevice,
         _jitted_spmm_routed,
         to_device_routed,
     )
+    from cvr_tpu.ops.spmv_window import (
+        SellWindowDevice,
+        _jitted_spmm_window,
+        to_device_window,
+    )
 
     if isinstance(A, SellRouted):
         A = to_device_routed(A)
+    if isinstance(A, SellWindow):
+        A = to_device_window(A)
     if isinstance(A, SellRoutedDevice):
         return _jitted_spmm_routed()(A, jnp.asarray(X))
+    if isinstance(A, SellWindowDevice):
+        return _jitted_spmm_window()(A, jnp.asarray(X))
     if isinstance(A, SellMatrix):
         A = to_device(A)
     X = jnp.asarray(X)

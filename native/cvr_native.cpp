@@ -400,6 +400,78 @@ int cvr_sell_fill(int64_t G, int64_t C, const int64_t* rowptr,
 }
 
 // ---------------------------------------------------------------------------
+// CSR -> SELL-window (identity row order; the locality fast path).
+// The TPU kernel gathers x through a per-plane-row aligned column window
+// (cvr_tpu/ops/pallas_window.py), the analogue of VHCC's 2D cache blocking
+// (vhcc_matrix.h:300-375) pushed to pack time.  This fill keeps rows in
+// natural order (slice i = rows [1024i, 1024(i+1))), records per-plane-row
+// column min/max, and rewrites padding columns to the row's min so every
+// plane row spans the tightest possible window.
+// ---------------------------------------------------------------------------
+// Pass 1: per-plane-row column min/max, straight from CSR (no plane
+// materialization).  Parallel over slices — each slice owns a disjoint
+// plane-row range, so there are no races.
+int cvr_window_minmax(int64_t nrows, int64_t C, const int64_t* rowptr,
+                      const int32_t* csr_cols,
+                      const int64_t* slice_offsets, int64_t S,
+                      int32_t* wmin, int32_t* wmax) {
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < S; s++) { wmin[s] = 0; wmax[s] = 0; }
+  const int64_t nslices = (nrows + C - 1) / C;
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t i = 0; i < nslices; i++) {
+    int64_t base = slice_offsets[i];
+    int64_t width = slice_offsets[i + 1] - base;
+    int32_t* lo = wmin + base;
+    int32_t* hi = wmax + base;
+    for (int64_t j = 0; j < width; j++) { lo[j] = INT32_MAX; hi[j] = -1; }
+    int64_t rend = std::min(nrows, (i + 1) * C);
+    for (int64_t r = i * C; r < rend; r++) {
+      int64_t src = rowptr[r];
+      int64_t len = rowptr[r + 1] - src;
+      for (int64_t j = 0; j < len; j++) {
+        int32_t c = csr_cols[src + j];
+        lo[j] = std::min(lo[j], c);
+        hi[j] = std::max(hi[j], c);
+      }
+    }
+    for (int64_t j = 0; j < width; j++)
+      if (hi[j] < 0) { lo[j] = 0; hi[j] = 0; }  // all-padding plane row
+  }
+  return 0;
+}
+
+// Pass 2: fill the value and in-window-offset planes directly in padded
+// sublane-split stream layout (8, S_pad, 128).  rmap maps unpadded plane
+// rows to padded rows; base_col is the per-unpadded-plane-row window
+// base column.  Caller pre-zeroes both planes (padding: val 0, li 0 =
+// the window base, a safe in-window gather).
+int cvr_window_fill_ss(int64_t nrows, int64_t C, const int64_t* rowptr,
+                       const int32_t* csr_cols, const float* csr_vals,
+                       const int64_t* slice_offsets, const int64_t* rmap,
+                       const int32_t* base_col, int64_t S_pad,
+                       float* vals_ss, int16_t* li_ss) {
+  const int64_t nslices = (nrows + C - 1) / C;
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t i = 0; i < nslices; i++) {
+    int64_t base = slice_offsets[i];
+    int64_t rend = std::min(nrows, (i + 1) * C);
+    for (int64_t r = i * C; r < rend; r++) {
+      int64_t src = rowptr[r];
+      int64_t len = rowptr[r + 1] - src;
+      int64_t lane = r % C;
+      int64_t lane_dst = (lane >> 7) * (S_pad * 128) + (lane & 127);
+      for (int64_t j = 0; j < len; j++) {
+        int64_t dst = lane_dst + rmap[base + j] * 128;
+        vals_ss[dst] = csr_vals[src + j];
+        li_ss[dst] = (int16_t)(csr_cols[src + j] - base_col[base + j]);
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Euler edge-coloring for the static routing engine (cvr_tpu/ops/route.py)
 // ---------------------------------------------------------------------------
 // k-edge-coloring of a k-regular bipartite multigraph (k a power of two) by
@@ -588,6 +660,6 @@ int cvr_mid_edges(int64_t T, const int16_t* mid, int32_t* src, int32_t* dst) {
   return 0;
 }
 
-int cvr_version() { return 4; }
+int cvr_version() { return 5; }
 
 }  // extern "C"

@@ -50,7 +50,7 @@ def cgo18_suite():
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mtx", nargs="*", default=None)
-    ap.add_argument("--impls", default="sell-routed,sell-xla,csr")
+    ap.add_argument("--impls", default="auto,sell-xla,csr")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--out", default="results.csv")
     ap.add_argument(
