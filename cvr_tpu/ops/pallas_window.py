@@ -39,7 +39,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _win_kernel(WR: int, emit_ref, w10_ref, seg_ref, li_ref, v_ref,
-                x3_ref, y_ref, acc_ref):
+                x3_ref, y_ref, acc_ref, p_ref):
+    """Two phases, measured to matter (docs/DESIGN.md): interleaving the
+    per-row emission branch with the window gathers serializes Mosaic's
+    pipeline (178 ns/plane-row); staging all gathered+scaled rows through
+    VMEM scratch first and sweeping emissions afterwards pipelines both
+    (the structure of pallas_route's reduce kernel)."""
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -48,10 +53,13 @@ def _win_kernel(WR: int, emit_ref, w10_ref, seg_ref, li_ref, v_ref,
         # zero-width slices (all-empty rows) never emit: pre-zero y.
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    def rgroup(rg, _):
+    # Phase 1: window gather + FMA for every plane row of the block, no
+    # cross-row dependencies.
+    def ggroup(rg, _):
         r8 = pl.multiple_of(rg * 8, 8)
         li8 = li_ref[:, pl.ds(r8, 8), :].astype(jnp.int32)
         v8 = v_ref[:, pl.ds(r8, 8), :]
+        outs = []
         for j in range(8):
             idx = li8[:, j, :]
             lo = jnp.bitwise_and(idx, 127)
@@ -68,8 +76,18 @@ def _win_kernel(WR: int, emit_ref, w10_ref, seg_ref, li_ref, v_ref,
                 op = jnp.broadcast_to(w[s : s + 1, :], (8, 128))
                 cand = jnp.take_along_axis(op, lo, axis=1)
                 acc = jnp.where(hi == s, cand, acc)
-            acc_ref[...] += acc * v8[:, j, :]
+            outs.append(acc * v8[:, j, :])
+        p_ref[:, pl.ds(r8, 8), :] = jnp.stack(outs, axis=1)
+        return 0
 
+    jax.lax.fori_loop(0, CH // 8, ggroup, 0, unroll=False)
+
+    # Phase 2: sequential per-row accumulation with slice-end emissions.
+    def rgroup(rg, _):
+        r8 = pl.multiple_of(rg * 8, 8)
+        p8 = p_ref[:, pl.ds(r8, 8), :]
+        for j in range(8):
+            acc_ref[...] += p8[:, j, :]
             dest = emit_ref[blk * CH + rg * 8 + j]
 
             @pl.when(dest >= 0)
@@ -123,7 +141,10 @@ def _win_call(S_rows: int, nslices: int, W: int, segw: int,
             (8, nslices, 128), lambda i, e, w, s: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, CH, 128), jnp.float32),
+        ],
     )
 
     def fn(emit, w10, seg_blk, li, vals, x3):
