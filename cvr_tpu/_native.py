@@ -100,22 +100,22 @@ def get_lib():
     _i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     lib.cvr_route_planes.restype = ctypes.c_int
     lib.cvr_route_planes.argtypes = [
-        _i64, _i32p, _i32p, _i64, _i16p, _i16p, _i16p,
+        _i64, _i32p, _i32p, _i64, _i16p, _i32p, _i16p,
     ]
     lib.cvr_mid_planes.restype = ctypes.c_int
-    lib.cvr_mid_planes.argtypes = [_i64, _i16p, _i32p, _i16p, _i16p, _i16p]
+    lib.cvr_mid_planes.argtypes = [_i64, _i32p, _i32p, _i16p, _i16p, _i16p]
     lib.cvr_mid_edges.restype = ctypes.c_int
-    lib.cvr_mid_edges.argtypes = [_i64, _i16p, _i32p, _i32p]
+    lib.cvr_mid_edges.argtypes = [_i64, _i32p, _i32p, _i32p]
     lib.cvr_window_minmax.restype = ctypes.c_int
     lib.cvr_window_minmax.argtypes = [
-        _i64, _i64, _i64p, _i32p, _i64p, _i64, _i32p, _i32p,
+        _i64, _i64, _i64, _i64p, _i32p, _i64p, _i64, _i32p, _i32p,
     ]
     lib.cvr_window_fill_ss.restype = ctypes.c_int
     lib.cvr_window_fill_ss.argtypes = [
-        _i64, _i64, _i64p, _i32p, _f32p, _i64p, _i64p, _i32p, _i64,
-        _f32p, _i16p,
+        _i64, _i64, _i64, _i64p, _i32p, _f32p, _i64p, _i64p, _i32p,
+        _i64, _f32p, _i16p,
     ]
-    if lib.cvr_version() != 5:
+    if lib.cvr_version() != 7:
         return None
     _LIB = lib
     return _LIB
@@ -282,7 +282,7 @@ def route_planes_native(perm, colors, T: int):
         raise NativeError("native library unavailable")
     n = perm.shape[0]
     s1 = np.empty((T, 1024), dtype=np.int16)
-    mid = np.empty((1024, T), dtype=np.int16)
+    mid = np.empty((1024, T), dtype=np.int32)
     s3 = np.empty((T, 1024), dtype=np.int16)
     rc = lib.cvr_route_planes(n, perm, colors, T, s1, mid, s3)
     if rc != 0:
@@ -327,7 +327,7 @@ def euler_color_rows_native(src, dst, n_rows: int, tk: int, k: int):
     return color
 
 
-def window_minmax_native(nrows, C, rowptr, csr_cols, slice_offsets):
+def window_minmax_native(nrows, C, D, rowptr, csr_cols, slice_offsets):
     """Per-plane-row column min/max straight from CSR (SELL-W pass 1)."""
     lib = get_lib()
     if lib is None:
@@ -336,7 +336,7 @@ def window_minmax_native(nrows, C, rowptr, csr_cols, slice_offsets):
     wmin = np.empty(S, dtype=np.int32)
     wmax = np.empty(S, dtype=np.int32)
     rc = lib.cvr_window_minmax(
-        nrows, C,
+        nrows, C, D,
         np.ascontiguousarray(rowptr, dtype=np.int64),
         np.ascontiguousarray(csr_cols, dtype=np.int32),
         np.ascontiguousarray(slice_offsets, dtype=np.int64),
@@ -348,8 +348,8 @@ def window_minmax_native(nrows, C, rowptr, csr_cols, slice_offsets):
 
 
 def window_fill_ss_native(
-    nrows, C, rowptr, csr_cols, csr_vals, slice_offsets, rmap, base_col,
-    S_pad,
+    nrows, C, D, rowptr, csr_cols, csr_vals, slice_offsets, rmap,
+    base_col, S_pad,
 ):
     """Value + in-window-offset planes, directly in padded sublane-split
     stream layout (SELL-W pass 2)."""
@@ -359,7 +359,7 @@ def window_fill_ss_native(
     vals_ss = np.zeros((8, S_pad, 128), dtype=np.float32)
     li_ss = np.zeros((8, S_pad, 128), dtype=np.int16)
     rc = lib.cvr_window_fill_ss(
-        nrows, C,
+        nrows, C, D,
         np.ascontiguousarray(rowptr, dtype=np.int64),
         np.ascontiguousarray(csr_cols, dtype=np.int32),
         np.ascontiguousarray(csr_vals, dtype=np.float32),

@@ -113,7 +113,7 @@ def time_fn(fn, *args, iters: int = 100, warmup: int = 3) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def make_iterated(spmv_like, iters: int, n, scale: float = 1.0):
+def make_iterated(spmv_like, n, scale: float = 1.0):
     """ONE jit call = ``iters`` SpMV passes as a power iteration, from a
     PRNG-seeded start vector.
 
@@ -128,13 +128,16 @@ def make_iterated(spmv_like, iters: int, n, scale: float = 1.0):
         small calls (even across different scalar arguments) — the start
         vector is generated on-device from a seed argument and per-pass
         time is taken as the SLOPE between a short and a long loop, each
-        several seconds long, so a cache hit would be obvious.
+        several tenths of a second long, so a cache hit would be obvious.
 
     ``scale`` ~ 1/||A||_inf keeps v bounded; it fuses into the epilogue.
-    Only valid for square A.  Returns a jitted fn(A, seed) -> v_iters.
+    Only valid for square A.  Returns a jitted fn(A, seed, iters) -> sum;
+    ``iters`` is a DYNAMIC argument (one compile serves every loop
+    length — fixed-length loops made the calibration recompile for each
+    candidate length).
     """
 
-    def run(A, seed):
+    def run(A, seed, iters):
         v0 = jax.random.normal(
             jax.random.PRNGKey(seed), n, jnp_dtype_f32()
         )
@@ -166,32 +169,43 @@ def time_fn_iterated(
     iters: int,
     repeats: int = 2,
     scale: float = 1.0,
+    min_loop_s: float = 0.4,
 ) -> float:
     """Per-iteration seconds via the slope between a short and a long
-    on-device power-iteration loop (see make_iterated for why)."""
+    on-device power-iteration loop (see make_iterated for why).
+
+    The loop length auto-calibrates so each timed loop runs for at least
+    ``min_loop_s`` wall-clock: with a fixed length, small matrices make
+    the two loops differ by less than the tunnel's dispatch jitter
+    (~5-150 ms) and the slope collapses to noise (observed as a
+    "776% of roofline" reading).  ``iters`` is only the starting point.
+    """
     import jax.numpy as jnp
 
     n = tuple(x.shape)  # vector [n] or multi-RHS [n, K]; square A either way
+    run = make_iterated(spmv_like, n, scale=scale)
+
+    def timed(L, seed):
+        # np.asarray forces the fetch; block_until_ready alone does not
+        # reliably force execution through the remote tunnel (see
+        # make_iterated).  The result is a scalar so the fetch is 4 B.
+        t0 = time.perf_counter()
+        _ = np.asarray(run(A, jnp.int32(seed), jnp.int32(L)))
+        return time.perf_counter() - t0
+
+    _ = timed(1, 0)  # compile + flush
+    # Calibrate: grow the short loop until it dominates dispatch jitter.
     L1 = max(1, iters // 5)
-    L2 = iters
-    if L2 <= L1:
-        L2 = L1 + 4
-    run1 = make_iterated(spmv_like, L1, n, scale=scale)
-    run2 = make_iterated(spmv_like, L2, n, scale=scale)
-    # np.asarray forces the fetch; block_until_ready alone does not
-    # reliably force execution through the remote tunnel (see
-    # make_iterated).  The result is a scalar so the fetch is 4 bytes.
-    _ = np.asarray(run1(A, jnp.int32(0)))  # compile + flush
-    _ = np.asarray(run2(A, jnp.int32(0)))  # compile + flush
+    w = timed(L1, 1)
+    while w < min_loop_s and L1 < (1 << 22):
+        L1 *= 4
+        w = timed(L1, 1)
+    L2 = 5 * L1
     t1 = float("inf")
     t2 = float("inf")
     for i in range(1, repeats + 1):
-        t0 = time.perf_counter()
-        _ = np.asarray(run1(A, jnp.int32(i)))
-        t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _ = np.asarray(run2(A, jnp.int32(100 + i)))
-        t2 = min(t2, time.perf_counter() - t0)
+        t1 = min(t1, timed(L1, 10 + i))
+        t2 = min(t2, timed(L2, 100 + i))
     return max(t2 - t1, 1e-12) / (L2 - L1)
 
 

@@ -23,7 +23,9 @@ data-dependent control flow.
 
 Constraints of the routed path (fall back to the XLA path otherwise):
   * C == 1024 (one VPU tile per slot);
-  * route tiles T <= 32767 (int16 index planes) => ~33M stored nonzeros;
+  * route tiles T <= 262144 (~268M stored nonzeros; HBM capacity) — the
+    device index planes stay int16 because the recursive middle stage
+    only ever indexes within 1024-element chunks;
   * no ncols limit beyond route tiles: x streams through VMEM in
     8 MB segments selected per tile block (tiles are column-sorted,
     so segment switches are monotone).
@@ -187,9 +189,12 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         T_src_p = int(seg_padded.sum())
 
         T = _round_up(max(T_src_p, S_padded), 1024)
-        if T > 32767:
+        if T > 262144:
+            # ~268M stored nnz: the device planes alone (~6 streams of
+            # 4 B/elem) would exceed a v5e's 16 GB HBM — shard first.
             raise ValueError(
-                f"matrix too large for int16 route planes (T={T})"
+                f"matrix too large for one chip (T={T}); row-shard it "
+                "across devices (cvr_tpu.parallel.dist)"
             )
         # source stream arrays, filler slots = -1 (vectorized fill)
         src_pos = np.full(T * TILE, -1, dtype=np.int64)

@@ -9,9 +9,9 @@ the domains where the reference reports 9.6-21.1 GFLOPS) — has strong
 column LOCALITY: with rows kept in natural order, the 1024 columns of one
 packed plane row span a narrow range.  SELL-W exploits that:
 
-  * rows stay in **natural order** (slice i = rows [1024i, 1024(i+1)));
-    no permutation, so y is a pure reshape of the slice sums — no y-route,
-    no scatter;
+  * rows stay in **natural order** (slice i = rows [i*1024/D,
+    (i+1)*1024/D), each row on D consecutive lanes); no permutation, so
+    y is a reshape + D-fold of the slice sums — no y-route, no scatter;
   * each plane row gets a 1024-aligned **column window** (1024 or 2048
     wide, chosen at pack time from the measured spreads); padding columns
     are rewritten to the row's min column so they never widen the window;
@@ -49,13 +49,14 @@ from cvr_tpu.utils.timing import PhaseTimer
 
 TILE = 1024
 # 1024-column windows per x-table segment.  The kernel sees x through one
-# (16 * (segw + 2), 128) VMEM block (~2.1 MB at 256) selected per grid
-# block: TWO offset grids (columns shifted by 0 and by 512) of
-# (segw + 2) windows each.  Window bases must be 1024-aligned (Mosaic:
-# dynamic sublane slabs need provable 8-row alignment), which costs up to
-# 1023 columns of alignment loss; the half-shifted second grid caps the
-# loss at 511, so a W-wide window covers any true spread <= W - 512.
-SEGW_WIN = 256
+# (G * 8 * (segw + 2), 128) VMEM block (~2.1 MB at segw=128, G=4)
+# selected per grid block: G offset grids (columns shifted by g*1024/G)
+# of (segw + 2) windows each.  Window bases must be 1024-aligned
+# (Mosaic: dynamic sublane slabs need provable 8-row alignment), which
+# costs up to 1023 columns of alignment loss; the G=4 shifted grids cap
+# the loss at 255, so a W-wide window covers any true spread <= W - 256.
+SEGW_WIN = 128
+NGRIDS = 4
 
 
 class WindowInfeasible(ValueError):
@@ -79,6 +80,8 @@ class SellWindow:
     shape: tuple[int, int]
     nnz: int
     W: int  # window width: 1024 or 2048
+    D: int  # lane duplication: each row occupies D lanes
+    G: int  # aligned offset grids in the x table
     S: int  # plane rows before padding
     S_pad: int
     nslices: int
@@ -101,6 +104,7 @@ class SellWindow:
             ycall_rows=self.ycall_rows,
             shape=np.asarray(self.shape, dtype=np.int64),
             nnz=np.int64(self.nnz), W=np.int64(self.W),
+            D=np.int64(self.D), G=np.int64(self.G),
             S=np.int64(self.S), S_pad=np.int64(self.S_pad),
             nslices=np.int64(self.nslices), segw=np.int64(self.segw),
             n_segs=np.int64(self.n_segs),
@@ -114,24 +118,47 @@ class SellWindow:
             seg_blk=z["seg_blk"], emit=z["emit"],
             ycall_rows=z["ycall_rows"],
             shape=tuple(int(v) for v in z["shape"]),
-            nnz=int(z["nnz"]), W=int(z["W"]), S=int(z["S"]),
+            nnz=int(z["nnz"]), W=int(z["W"]), D=int(z["D"]),
+            G=int(z["G"]), S=int(z["S"]),
             S_pad=int(z["S_pad"]), nslices=int(z["nslices"]),
             segw=int(z["segw"]), n_segs=int(z["n_segs"]),
         )
 
 
-def _window_fill_numpy(nrows, C, rowptr, cols, vals, slice_offsets):
+def _plan_for_d(nrows, row_lengths, D):
+    """Slice layout for duplication factor D: a slice covers 1024/D rows,
+    each row occupying D lanes with ceil(len/D) slots."""
+    rps = TILE // D
+    nslices = max(1, _round_up(max(nrows, 1), rps) // rps)
+    L = np.zeros(nslices * rps, dtype=np.int64)
+    L[:nrows] = -(-row_lengths // D)
+    widths = L.reshape(nslices, rps).max(axis=1)
+    slice_offsets = np.zeros(nslices + 1, dtype=np.int64)
+    np.cumsum(widths, out=slice_offsets[1:])
+    S = int(slice_offsets[-1])
+    if S == 0:  # empty matrix: one zero plane row for shape sanity
+        widths[0] = 1
+        slice_offsets[1:] = 1
+        S = 1
+    return nslices, widths, slice_offsets, S
+
+
+def _window_fill_numpy(nrows, C, D, rowptr, cols, vals, slice_offsets):
     """Pure-NumPy fallback for the native fill (tests / small matrices)."""
     S = int(slice_offsets[-1])
     SENT = np.iinfo(np.int32).max
     vals_plane = np.zeros((S, C), dtype=np.float32)
     cols_plane = np.full((S, C), SENT, dtype=np.int32)
     nnz = int(rowptr[-1])
+    rps = C // D
     if nnz:
         lengths = np.diff(rowptr)
         r = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
         j = np.arange(nnz, dtype=np.int64) - np.repeat(rowptr[:-1], lengths)
-        dest = (slice_offsets[r // C] + j) * C + (r % C)
+        L = np.repeat(np.maximum(-(-lengths // D), 1), lengths)
+        slot = j % L
+        lane = (r % rps) * D + j // L
+        dest = (slice_offsets[r // rps] + slot) * C + lane
         vals_plane.reshape(-1)[dest] = vals
         cols_plane.reshape(-1)[dest] = cols
     masked = np.ma.masked_equal(cols_plane, SENT)
@@ -142,13 +169,32 @@ def _window_fill_numpy(nrows, C, rowptr, cols, vals, slice_offsets):
     return vals_plane, cols_plane, pad, wmin, wmax
 
 
+def _grid_fit(wmin, wmax, W, G):
+    """Per plane row, the first of the G offset grids whose W-wide aligned
+    window covers [wmin, wmax].  Returns (all_fit, grid, wb)."""
+    step = 1024 // G
+    wmin64 = wmin.astype(np.int64)
+    wmax64 = wmax.astype(np.int64)
+    grid = np.full(wmin.shape[0], -1, dtype=np.int32)
+    wb = np.zeros(wmin.shape[0], dtype=np.int32)
+    for g in range(G):
+        wb_g = (wmin64 - g * step) >> 10
+        ok = (wb_g >= 0) & (wmax64 < wb_g * 1024 + g * step + W)
+        take = ok & (grid < 0)
+        grid = np.where(take, g, grid)
+        wb = np.where(take, wb_g.astype(np.int32), wb)
+    return bool(np.all(grid >= 0)), grid, wb
+
+
 def sell_pack_window(
     csr: CSRMatrix, segw: int = SEGW_WIN, use_native: bool | None = None
 ) -> SellWindow:
     """CSR -> SELL-W converter (O(nnz) streaming; a reported metric).
 
-    Raises WindowInfeasible when some plane row's columns span more than
-    2048 aligned columns — callers should fall back to the routed path.
+    Chooses the cheapest feasible (D, W) pair: duplication D shrinks the
+    per-plane-row column spread ~D-fold at ~D/2 extra slots per row, and
+    W = 1024 halves the kernel's gather count vs 2048.  Raises
+    WindowInfeasible when nothing fits — use the routed path.
     """
     from cvr_tpu.ops.pallas_window import CH, YB
 
@@ -156,74 +202,72 @@ def sell_pack_window(
     nrows, ncols = csr.shape
     if use_native is None:
         use_native = csr.vals.dtype == np.float32
+    native_ok = False
+    if use_native:
+        from cvr_tpu import _native
+
+        native_ok = _native.available()
 
     with pt.phase("plan"):
-        nslices = max(1, _round_up(max(nrows, 1), TILE) // TILE)
-        lengths = np.zeros(nslices * TILE, dtype=np.int64)
-        lengths[:nrows] = csr.row_lengths
-        widths = lengths.reshape(nslices, TILE).max(axis=1)
-        slice_offsets = np.zeros(nslices + 1, dtype=np.int64)
-        np.cumsum(widths, out=slice_offsets[1:])
-        S = int(slice_offsets[-1])
-        if S == 0:  # empty matrix: keep one zero plane row for shape sanity
-            widths[0] = 1
-            slice_offsets[1:] = 1
-            S = 1
+        row_lengths = csr.row_lengths
+        plans = {}  # D -> (nslices, widths, slice_offsets, S)
+        for D in (1, 2, 4):
+            plans[D] = _plan_for_d(nrows, row_lengths, D)
+        # candidate order: estimated kernel cost = rows x (base + gathers)
+        cands = sorted(
+            [(D, W) for D in (1, 2, 4) for W in (1024, 2048)],
+            key=lambda dw: plans[dw[0]][3] * (40 + 4.5 * (dw[1] // 128)),
+        )
 
     with pt.phase("minmax"):
-        native_ok = False
-        if use_native:
-            from cvr_tpu import _native
+        minmax = {}  # D -> (wmin, wmax)
+        fills = {}  # D -> numpy fill tuple (fallback path only)
 
-            native_ok = _native.available()
-        if native_ok:
-            wmin, wmax = _native.window_minmax_native(
-                nrows, TILE, csr.rowptr, csr.cols, slice_offsets
-            )
-        else:
-            vals_plane, cols_plane, pad_mask, wmin, wmax = (
-                _window_fill_numpy(
-                    nrows, TILE, csr.rowptr, csr.cols,
-                    csr.vals.astype(np.float32), slice_offsets,
+        def get_minmax(D):
+            if D in minmax:
+                return minmax[D]
+            offs = plans[D][2]
+            if native_ok:
+                mm = _native.window_minmax_native(
+                    nrows, TILE, D, csr.rowptr, csr.cols, offs
                 )
-            )
+            else:
+                fills[D] = _window_fill_numpy(
+                    nrows, TILE, D, csr.rowptr, csr.cols,
+                    csr.vals.astype(np.float32), offs,
+                )
+                mm = (fills[D][3], fills[D][4])
+            minmax[D] = mm
+            return mm
 
-    with pt.phase("windows"):
-        # Two aligned offset grids (columns 0 and +512): pick per plane
-        # row the one with the smaller alignment loss, capping the loss
-        # at 511 columns, so W covers any true spread <= W - 512.
-        wb0 = (wmin >> 10).astype(np.int32)
-        wb1 = ((wmin - 512) >> 10).astype(np.int32)  # may be -1
-        spread0 = wmax.astype(np.int64) - wb0.astype(np.int64) * 1024
-        spread1 = wmax.astype(np.int64) - (
-            wb1.astype(np.int64) * 1024 + 512
-        )
-        W = 0
-        for cand in (1024, 2048):
-            fits0 = spread0 < cand
-            fits1 = (spread1 < cand) & (wb1 >= 0)
-            if bool(np.all(fits0 | fits1)):
-                W = cand
+        chosen = None
+        for D, W in cands:
+            wmin, wmax = get_minmax(D)
+            ok, grid, wb_used = _grid_fit(wmin, wmax, W, NGRIDS)
+            if ok:
+                chosen = (D, W, grid, wb_used)
                 break
-        if W == 0:
+        if chosen is None:
+            wmin, wmax = minmax[1]
             true_spread = int(
                 (wmax.astype(np.int64) - wmin.astype(np.int64)).max()
             )
             raise WindowInfeasible(
                 f"max plane-row column spread {true_spread} exceeds the "
-                "window reach (1536); no window locality — use the "
-                "routed path"
+                "window reach even with lane duplication; no window "
+                "locality — use the routed path"
             )
-        grid = np.where(fits0, 0, 1).astype(np.int32)
-        wb_used = np.where(fits0, wb0, wb1).astype(np.int32)
-        base_col = wb_used * 1024 + grid * 512
+        D, W, grid, wb_used = chosen
+        nslices, widths, slice_offsets, S = plans[D]
+        step = 1024 // NGRIDS
+        base_col = wb_used * 1024 + grid * step
 
     with pt.phase("segments"):
         nwin = max(1, -(-ncols // 1024))
         segw = min(segw, _round_up(nwin, 8))
         n_segs = -(-nwin // segw)
         seg = (wb_used // segw).astype(np.int32)
-        # window index into the segment's dual-grid x table: grid g's
+        # window index into the segment's G-grid x table: grid g's
         # 8*(segw+2) rows start at 8*g*(segw+2).
         w10 = (grid * (segw + 2) + wb_used - seg * segw).astype(np.int32)
 
@@ -267,10 +311,11 @@ def sell_pack_window(
     with pt.phase("fill"):
         if native_ok:
             vals_pad, li_pad = _native.window_fill_ss_native(
-                nrows, TILE, csr.rowptr, csr.cols, csr.vals,
+                nrows, TILE, D, csr.rowptr, csr.cols, csr.vals,
                 slice_offsets, rmap, base_col, S_pad,
             )
         else:
+            vals_plane, cols_plane, pad_mask, _, _ = fills[D]
             li = np.where(
                 pad_mask, 0, cols_plane - base_col[:, None]
             ).astype(np.int16)
@@ -307,6 +352,8 @@ def sell_pack_window(
         shape=csr.shape,
         nnz=csr.nnz,
         W=W,
+        D=D,
+        G=NGRIDS,
         S=S,
         S_pad=S_pad,
         nslices=nslices,

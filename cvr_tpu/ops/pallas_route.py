@@ -1003,6 +1003,12 @@ def middle_planes(plan) -> dict:
             "Tk": Tk,
         }
     # legacy brute kernel for streams not rounded to 1024 tiles
+    if T > 32767:
+        raise ValueError(
+            "brute middle stage holds tile ids in int16 (T <= 32767); "
+            "pad the stream to a 1024-tile multiple for the recursive "
+            "middle"
+        )
     Tp = _round_up(T, 128)
     K = Tp // 128
     mid = np.tile(np.arange(Tp, dtype=np.int16), (1024, 1))

@@ -113,13 +113,13 @@ def _win_kernel(WR: int, emit_ref, w10_ref, seg_ref, li_ref, v_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _win_call(S_rows: int, nslices: int, W: int, segw: int,
+def _win_call(S_rows: int, nslices: int, W: int, segw: int, G: int,
               interpret: bool):
     grid = S_rows // CH
     WR = W // 128
-    # dual-offset-grid x table: 2 grids x (segw + 2) windows x 8 rows
+    # G-offset-grid x table: G grids x (segw + 2) windows x 8 rows
     # (see formats/sell_window.py)
-    xrows = 16 * (segw + 2)
+    xrows = G * 8 * (segw + 2)
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # emit, w10, seg_blk
         grid=(grid,),
@@ -168,11 +168,12 @@ def window_reduce(
     nslices: int,
     W: int,
     segw: int,
+    G: int,
 ) -> jax.Array:
     """One reduce call: per-slice lane sums for ``nslices`` slices.
 
     emit/w10: (nr,) with nr a CH multiple; seg_blk: (nr // CH,);
-    li/vals: (8, nr, 128); x3: (n_segs, segw*8 + 8, 128).
+    li/vals: (8, nr, 128); x3: (n_segs, G*8*(segw+2), 128).
     Returns (8, nslices, 128): slice sigma's 1024 lane sums at
     [:, sigma, :] (lane p of the slice at [p >> 7, sigma, p & 127]).
     """
@@ -180,7 +181,7 @@ def window_reduce(
     if nr % CH:
         raise ValueError("row count must be a multiple of CH")
     nsp = _round_up(max(nslices, 8), 8)
-    out = _win_call(nr, nsp, W, segw, use_interpret())(
+    out = _win_call(nr, nsp, W, segw, G, use_interpret())(
         emit, w10, seg_blk, li, vals, x3
     )
     return out[:, :nslices]

@@ -165,9 +165,9 @@ class RoutePlan:
     Index planes are gather-form and live in the (T*8, 128) physical
     layout (logical (T, 1024)):
 
-      s1    [T, 1024] int32: g1[a, q]     = v_grid[a, s1[a, q]]
+      s1    [T, 1024] int16: g1[a, q]     = v_grid[a, s1[a, q]]
       mid   [1024, T] int32: g2[q, d]     = g1t[q, mid[q, d]]
-      s3    [T, 1024] int32: out_grid[d, o] = g2t[d, s3[d, o]]
+      s3    [T, 1024] int16: out_grid[d, o] = g2t[d, s3[d, o]]
 
     ``n`` is the real (unpadded) length; positions >= n are don't-care.
     """
@@ -222,9 +222,11 @@ def plan_route(
     s1 = np.empty((T, TILE), dtype=np.int16)
     s1[src_tile, colors] = (perm32 & 1023).astype(np.int16)
     # middle: g1t[q, a] holds color-q element of source tile a; its dest
-    # tile is d.  mid[q, d] = a.
-    mid = np.empty((TILE, T), dtype=np.int16)
-    mid[colors, d_of_edge] = src_tile.astype(np.int16)
+    # tile is d.  mid[q, d] = a.  (int32: tile ids are unbounded by the
+    # int16 range — only the device planes must be int16, and in the
+    # recursive decomposition they hold within-chunk offsets < 1024.)
+    mid = np.empty((TILE, T), dtype=np.int32)
+    mid[colors, d_of_edge] = src_tile.astype(np.int32)
     # stage 3: out position i (tile d, offset o) receives the color-q
     # element routed to tile d.  s3[d, o] = q.
     s3 = np.empty((T, TILE), dtype=np.int16)
@@ -273,7 +275,7 @@ def plan_mid_recursive(plan: RoutePlan):
       csel[cd*1024 + q, m] = source chunk ca
       m3[cd*1024 + q, f]   = chunk color m of the element ending at f
     """
-    mid = np.ascontiguousarray(plan.mid, dtype=np.int16)  # [1024, T]
+    mid = np.ascontiguousarray(plan.mid, dtype=np.int32)  # [1024, T]
     T = mid.shape[1]
     if T % TILE:
         raise ValueError("recursive middle requires T % 1024 == 0")

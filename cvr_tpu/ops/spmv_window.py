@@ -25,7 +25,8 @@ from cvr_tpu.ops.pallas_window import CH, YB, window_reduce
     jax.tree_util.register_dataclass,
     data_fields=["w10", "seg_blk", "li", "vals_ss", "emit"],
     meta_fields=[
-        "shape", "W", "S_pad", "nslices", "segw", "n_segs", "ycall_rows",
+        "shape", "W", "D", "G", "S_pad", "nslices", "segw", "n_segs",
+        "ycall_rows",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +39,8 @@ class SellWindowDevice:
     ycall_rows: tuple
     shape: tuple[int, int]
     W: int
+    D: int
+    G: int
     S_pad: int
     nslices: int
     segw: int
@@ -57,6 +60,8 @@ def to_device_window(sw: SellWindow, device=None) -> SellWindowDevice:
         ),
         shape=sw.shape,
         W=sw.W,
+        D=sw.D,
+        G=sw.G,
         S_pad=sw.S_pad,
         nslices=sw.nslices,
         segw=sw.segw,
@@ -65,22 +70,24 @@ def to_device_window(sw: SellWindow, device=None) -> SellWindowDevice:
 
 
 def _x_table(sd: SellWindowDevice, x: jax.Array) -> jax.Array:
-    """Segmented dual-grid x table (n_segs, 16 * (segw + 2), 128).
+    """Segmented G-grid x table (n_segs, G * 8 * (segw + 2), 128).
 
-    Each segment holds two aligned offset grids of (segw + 2) windows —
-    grid 1 shifted by 512 columns (4 table rows) — so the pack can cap
-    window alignment loss at 511 columns; the +2 windows of overlap let
-    a 2048-wide window start at the segment's last window."""
+    Each segment holds G aligned offset grids of (segw + 2) windows —
+    grid g shifted by g*1024/G columns (g*8/G table rows) — so the pack
+    can cap window alignment loss at 1024/G - 1 columns; the +2 windows
+    of overlap let a 2048-wide window start at the segment's last
+    window."""
     rows_per_seg = sd.segw * 8
     grid_rows = 8 * (sd.segw + 2)
-    H = sd.n_segs * rows_per_seg + 24
+    shift = 8 // sd.G
+    H = rows_per_seg * sd.n_segs + grid_rows  # slack for last grid slice
     xp = jnp.pad(x, (0, H * 128 - sd.shape[1])).reshape(H, 128)
     idx = (
         jnp.arange(sd.n_segs)[:, None, None] * rows_per_seg
-        + jnp.asarray([0, 4])[None, :, None]
+        + (jnp.arange(sd.G) * shift)[None, :, None]
         + jnp.arange(grid_rows)[None, None, :]
     )
-    return jnp.take(xp, idx.reshape(sd.n_segs, 2 * grid_rows), axis=0)
+    return jnp.take(xp, idx.reshape(sd.n_segs, sd.G * grid_rows), axis=0)
 
 
 def spmv_window(sd: SellWindowDevice, x: jax.Array) -> jax.Array:
@@ -104,11 +111,17 @@ def spmv_window(sd: SellWindowDevice, x: jax.Array) -> jax.Array:
                 nsl,
                 sd.W,
                 sd.segw,
+                sd.G,
             )
         )
     ys = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-    # ys[h, i, l] = row i*1024 + h*128 + l: natural order, pure reshape.
-    return jnp.transpose(ys, (1, 0, 2)).reshape(-1)[:nrows]
+    # ys[h, i, l] = slice-i lane h*128+l; lane p belongs to row
+    # i*(1024/D) + p//D: fold the D duplicate lanes, then natural order
+    # is a pure reshape.
+    flat = jnp.transpose(ys, (1, 0, 2)).reshape(sd.nslices, 1024)
+    if sd.D > 1:
+        flat = flat.reshape(sd.nslices, 1024 // sd.D, sd.D).sum(axis=2)
+    return flat.reshape(-1)[:nrows]
 
 
 def spmm_window(sd: SellWindowDevice, X: jax.Array) -> jax.Array:

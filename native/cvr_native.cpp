@@ -411,13 +411,16 @@ int cvr_sell_fill(int64_t G, int64_t C, const int64_t* rowptr,
 // Pass 1: per-plane-row column min/max, straight from CSR (no plane
 // materialization).  Parallel over slices — each slice owns a disjoint
 // plane-row range, so there are no races.
-int cvr_window_minmax(int64_t nrows, int64_t C, const int64_t* rowptr,
-                      const int32_t* csr_cols,
+// D = lane-duplication factor: each row occupies D consecutive lanes
+// (its nnz cut into D chunks of L = ceil(len/D)), a slice covers C/D
+// rows, and the per-plane-row column spread shrinks ~D-fold — the knob
+// that buys W = 1024 (8 gathers) instead of 2048 (16) on banded inputs.
+int cvr_window_minmax(int64_t nrows, int64_t C, int64_t D,
+                      const int64_t* rowptr, const int32_t* csr_cols,
                       const int64_t* slice_offsets, int64_t S,
                       int32_t* wmin, int32_t* wmax) {
-#pragma omp parallel for schedule(static)
-  for (int64_t s = 0; s < S; s++) { wmin[s] = 0; wmax[s] = 0; }
-  const int64_t nslices = (nrows + C - 1) / C;
+  const int64_t rps = C / D;  // rows per slice
+  const int64_t nslices = (nrows + rps - 1) / rps;
 #pragma omp parallel for schedule(dynamic, 1)
   for (int64_t i = 0; i < nslices; i++) {
     int64_t base = slice_offsets[i];
@@ -425,14 +428,17 @@ int cvr_window_minmax(int64_t nrows, int64_t C, const int64_t* rowptr,
     int32_t* lo = wmin + base;
     int32_t* hi = wmax + base;
     for (int64_t j = 0; j < width; j++) { lo[j] = INT32_MAX; hi[j] = -1; }
-    int64_t rend = std::min(nrows, (i + 1) * C);
-    for (int64_t r = i * C; r < rend; r++) {
+    int64_t rend = std::min(nrows, (i + 1) * rps);
+    for (int64_t r = i * rps; r < rend; r++) {
       int64_t src = rowptr[r];
       int64_t len = rowptr[r + 1] - src;
+      if (len == 0) continue;
+      int64_t L = (len + D - 1) / D;
       for (int64_t j = 0; j < len; j++) {
         int32_t c = csr_cols[src + j];
-        lo[j] = std::min(lo[j], c);
-        hi[j] = std::max(hi[j], c);
+        int64_t slot = j % L;
+        lo[slot] = std::min(lo[slot], c);
+        hi[slot] = std::max(hi[slot], c);
       }
     }
     for (int64_t j = 0; j < width; j++)
@@ -446,25 +452,31 @@ int cvr_window_minmax(int64_t nrows, int64_t C, const int64_t* rowptr,
 // rows to padded rows; base_col is the per-unpadded-plane-row window
 // base column.  Caller pre-zeroes both planes (padding: val 0, li 0 =
 // the window base, a safe in-window gather).
-int cvr_window_fill_ss(int64_t nrows, int64_t C, const int64_t* rowptr,
-                       const int32_t* csr_cols, const float* csr_vals,
+int cvr_window_fill_ss(int64_t nrows, int64_t C, int64_t D,
+                       const int64_t* rowptr, const int32_t* csr_cols,
+                       const float* csr_vals,
                        const int64_t* slice_offsets, const int64_t* rmap,
                        const int32_t* base_col, int64_t S_pad,
                        float* vals_ss, int16_t* li_ss) {
-  const int64_t nslices = (nrows + C - 1) / C;
+  const int64_t rps = C / D;
+  const int64_t nslices = (nrows + rps - 1) / rps;
 #pragma omp parallel for schedule(dynamic, 1)
   for (int64_t i = 0; i < nslices; i++) {
     int64_t base = slice_offsets[i];
-    int64_t rend = std::min(nrows, (i + 1) * C);
-    for (int64_t r = i * C; r < rend; r++) {
+    int64_t rend = std::min(nrows, (i + 1) * rps);
+    for (int64_t r = i * rps; r < rend; r++) {
       int64_t src = rowptr[r];
       int64_t len = rowptr[r + 1] - src;
-      int64_t lane = r % C;
-      int64_t lane_dst = (lane >> 7) * (S_pad * 128) + (lane & 127);
+      if (len == 0) continue;
+      int64_t L = (len + D - 1) / D;
+      int64_t lane0 = (r - i * rps) * D;
       for (int64_t j = 0; j < len; j++) {
-        int64_t dst = lane_dst + rmap[base + j] * 128;
+        int64_t lane = lane0 + j / L;
+        int64_t slot = j % L;
+        int64_t dst = (lane >> 7) * (S_pad * 128) + (lane & 127) +
+                      rmap[base + slot] * 128;
         vals_ss[dst] = csr_vals[src + j];
-        li_ss[dst] = (int16_t)(csr_cols[src + j] - base_col[base + j]);
+        li_ss[dst] = (int16_t)(csr_cols[src + j] - base_col[base + slot]);
       }
     }
   }
@@ -612,7 +624,7 @@ int cvr_euler_color_rows(int64_t n_rows, int64_t tk, int32_t k,
 // are random-access; doing them in C avoids NumPy fancy-indexing
 // overhead on this host's single slow core.
 int cvr_route_planes(int64_t n, const int32_t* perm, const int32_t* colors,
-                     int64_t T, int16_t* s1, int16_t* mid, int16_t* s3) {
+                     int64_t T, int16_t* s1, int32_t* mid, int16_t* s3) {
   if (n != T * 1024) return fail("perm length must be T*1024");
   for (int64_t i = 0; i < n; i++) {
     int32_t p = perm[i];
@@ -620,7 +632,7 @@ int cvr_route_planes(int64_t n, const int32_t* perm, const int32_t* colors,
     int64_t a = (int64_t)(p >> 10);
     int64_t d = i >> 10;
     s1[a * 1024 + q] = (int16_t)(p & 1023);
-    mid[(int64_t)q * T + d] = (int16_t)a;
+    mid[(int64_t)q * T + d] = (int32_t)a;
     s3[d * 1024 + (i & 1023)] = (int16_t)q;
   }
   return 0;
@@ -628,13 +640,13 @@ int cvr_route_planes(int64_t n, const int32_t* perm, const int32_t* colors,
 
 // Recursive-middle planes: per-row chunk decomposition of mid (1024 x T).
 // colors_rows holds the per-row chunk colorings (1024*T entries).
-int cvr_mid_planes(int64_t T, const int16_t* mid, const int32_t* colors_rows,
+int cvr_mid_planes(int64_t T, const int32_t* mid, const int32_t* colors_rows,
                    int16_t* m1, int16_t* csel, int16_t* m3) {
   for (int64_t q = 0; q < 1024; q++) {
-    const int16_t* mrow = mid + q * T;
+    const int32_t* mrow = mid + q * T;
     const int32_t* crow = colors_rows + q * T;
     for (int64_t d = 0; d < T; d++) {
-      int64_t a = (int64_t)(uint16_t)mrow[d];
+      int64_t a = (int64_t)mrow[d];
       int64_t m = crow[d];
       int64_t ca = a >> 10;
       int64_t cd = d >> 10;
@@ -647,19 +659,19 @@ int cvr_mid_planes(int64_t T, const int16_t* mid, const int32_t* colors_rows,
 }
 
 // Chunk endpoints for the per-row colorings: ca = mid >> 10, cd = d >> 10.
-int cvr_mid_edges(int64_t T, const int16_t* mid, int32_t* src, int32_t* dst) {
+int cvr_mid_edges(int64_t T, const int32_t* mid, int32_t* src, int32_t* dst) {
   for (int64_t q = 0; q < 1024; q++) {
-    const int16_t* mrow = mid + q * T;
+    const int32_t* mrow = mid + q * T;
     int32_t* srow = src + q * T;
     int32_t* drow = dst + q * T;
     for (int64_t d = 0; d < T; d++) {
-      srow[d] = (int32_t)((uint16_t)mrow[d] >> 10);
+      srow[d] = (int32_t)(mrow[d] >> 10);
       drow[d] = (int32_t)(d >> 10);
     }
   }
   return 0;
 }
 
-int cvr_version() { return 5; }
+int cvr_version() { return 7; }
 
 }  // extern "C"
