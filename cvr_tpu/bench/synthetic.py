@@ -98,10 +98,17 @@ def wiki_talk_like(seed: int = 7) -> COOMatrix:
 
 
 def soc_livejournal_like(seed: int = 11) -> COOMatrix:
-    """Stand-in for soc-LiveJournal1-scale social graphs (4.8M x 4.8M,
-    69M nnz in the original; scaled to ~25M nnz to fit the int16 route
-    planes of a single chip)."""
+    """Mid-scale stand-in for soc-LiveJournal1-class social graphs
+    (~4.2M x 4.2M, ~25M nnz) — the quick-turnaround social benchmark."""
     return rmat_matrix(scale=22, edge_factor=6, seed=seed)
+
+
+def soc_livejournal_full(seed: int = 11) -> COOMatrix:
+    """Full-scale stand-in for soc-LiveJournal1 (4.8M x 4.8M, 69M nnz,
+    paper Table 2): R-MAT scale 23, edge factor 9, coalesced to ~65M
+    nnz.  Exercises the routed path beyond the former 33M single-chip
+    cap (the route's host mid plane is int32 now)."""
+    return rmat_matrix(scale=23, edge_factor=9, seed=seed)
 
 
 def banded_matrix(

@@ -187,7 +187,10 @@ def _grid_fit(wmin, wmax, W, G):
 
 
 def sell_pack_window(
-    csr: CSRMatrix, segw: int = SEGW_WIN, use_native: bool | None = None
+    csr: CSRMatrix,
+    segw: int = SEGW_WIN,
+    use_native: bool | None = None,
+    force_dw: tuple[int, int] | None = None,
 ) -> SellWindow:
     """CSR -> SELL-W converter (O(nnz) streaming; a reported metric).
 
@@ -195,6 +198,9 @@ def sell_pack_window(
     per-plane-row column spread ~D-fold at ~D/2 extra slots per row, and
     W = 1024 halves the kernel's gather count vs 2048.  Raises
     WindowInfeasible when nothing fits — use the routed path.
+
+    force_dw pins (D, W) — the distributed packer uses it so every
+    row shard shares one kernel geometry (cvr_tpu/parallel/dist_window).
     """
     from cvr_tpu.ops.pallas_window import CH, YB
 
@@ -214,10 +220,13 @@ def sell_pack_window(
         for D in (1, 2, 4):
             plans[D] = _plan_for_d(nrows, row_lengths, D)
         # candidate order: estimated kernel cost = rows x (base + gathers)
-        cands = sorted(
-            [(D, W) for D in (1, 2, 4) for W in (1024, 2048)],
-            key=lambda dw: plans[dw[0]][3] * (40 + 4.5 * (dw[1] // 128)),
-        )
+        if force_dw is not None:
+            cands = [tuple(force_dw)]
+        else:
+            cands = sorted(
+                [(D, W) for D in (1, 2, 4) for W in (1024, 2048)],
+                key=lambda dw: plans[dw[0]][3] * (40 + 4.5 * (dw[1] // 128)),
+            )
 
     with pt.phase("minmax"):
         minmax = {}  # D -> (wmin, wmax)
