@@ -111,6 +111,73 @@ def soc_livejournal_full(seed: int = 11) -> COOMatrix:
     return rmat_matrix(scale=23, edge_factor=9, seed=seed)
 
 
+def citation_like(seed: int = 13) -> COOMatrix:
+    """Stand-in for the citation domain (cit-Patents-class: moderate
+    power-law, ~15 nnz/row — paper Table 2): milder R-MAT quadrants at
+    web scale."""
+    return rmat_matrix(
+        scale=20, edge_factor=16, a=0.55, b=0.2, c=0.2, seed=seed
+    )
+
+
+def road_usa_like(
+    n: int = 1 << 23, deg: float = 2.5, reach: int = 64, seed: int = 17
+) -> COOMatrix:
+    """Stand-in for the road domain (road_usa-class: millions of rows,
+    ~2.4 nnz/row, strong spatial locality under a good node ordering —
+    paper Table 2).  Each row links to a few nearby rows."""
+    rng = np.random.default_rng(seed)
+    nnz = int(n * deg)
+    rows = rng.integers(0, n, nnz).astype(np.int64)
+    cols = np.clip(
+        rows + rng.integers(-reach, reach + 1, nnz), 0, n - 1
+    ).astype(np.int64)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    return COOMatrix(
+        rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+        vals=vals, shape=(n, n),
+    ).sum_duplicates()
+
+
+def rgg_like(
+    n: int = 1 << 21, deg: int = 6, reach: int = 96, seed: int = 19
+) -> COOMatrix:
+    """Stand-in for the routing domain (rgg-class random geometric
+    graphs: ~6 nnz/row, edges between spatially close nodes — the domain
+    where the reference reports its second-best numbers, 17.1 GFLOPS
+    paper Table 3)."""
+    rng = np.random.default_rng(seed)
+    nnz = n * deg
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = np.clip(
+        rows + rng.integers(-reach, reach + 1, nnz), 0, n - 1
+    ).astype(np.int64)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    return COOMatrix(
+        rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+        vals=vals, shape=(n, n),
+    ).sum_duplicates()
+
+
+def fem_like(
+    n: int = 1 << 20, deg: int = 54, bw: int = 150, seed: int = 23
+) -> COOMatrix:
+    """Stand-in for the EngSci domain (FEM/engineering matrices: dense
+    ~50-80 nnz rows within a narrow band after reordering — the
+    reference's best domain, 21.1 GFLOPS paper Table 3)."""
+    rng = np.random.default_rng(seed)
+    nnz = n * deg
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = np.clip(
+        rows + rng.integers(-bw, bw + 1, nnz), 0, n - 1
+    ).astype(np.int64)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    return COOMatrix(
+        rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+        vals=vals, shape=(n, n),
+    ).sum_duplicates()
+
+
 def banded_matrix(
     n: int, bandwidth: int = 27, seed: int = 0, dtype=np.float32
 ) -> COOMatrix:

@@ -33,16 +33,29 @@ def default_suite():
 
 
 def cgo18_suite():
-    """Full-scale stand-ins for the CGO'18 headline domains."""
+    """Full-scale stand-ins for the eight CGO'18 headline domains
+    (paper Table 2/3).  Reference CVR domain averages (2nnz GFLOPS, KNL
+    7250): webGraph 7.28, social 6.59, wiki 5.77, citation 6.26,
+    road 9.57, routing 17.11, FSM 8.09, EngSci 21.11."""
     from cvr_tpu.bench.synthetic import (
         banded_matrix,
+        citation_like,
+        fem_like,
+        rgg_like,
+        road_usa_like,
+        soc_livejournal_like,
         web_google_like,
         wiki_talk_like,
     )
 
     return [
-        ("web-Google-like", web_google_like),
-        ("wiki-Talk-like", wiki_talk_like),
+        ("web-Google-like", web_google_like),       # webGraph: 7.28
+        ("soc-LJ-like", soc_livejournal_like),      # social:   6.59
+        ("wiki-Talk-like", wiki_talk_like),         # wiki:     5.77
+        ("citation-like", citation_like),           # citation: 6.26
+        ("road-usa-like", road_usa_like),           # road:     9.57
+        ("rgg-like", rgg_like),                     # routing: 17.11
+        ("fem-like", fem_like),                     # EngSci:  21.11
         ("banded-2M", lambda: banded_matrix(1 << 21, bandwidth=27)),
     ]
 
