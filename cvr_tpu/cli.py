@@ -183,12 +183,31 @@ def _spmm(args, coo) -> int:
 
     csr = coo.to_csr()
     t0 = time.perf_counter()
-    if args.format in ("routed", "sell-routed"):
+    if args.format == "auto":
+        from cvr_tpu.formats import pack_auto
+        from cvr_tpu.formats.sell_routed import SellRouted
+        from cvr_tpu.ops.spmv_routed import spmm_routed, to_device_routed
+        from cvr_tpu.ops.spmv_window import spmm_window, to_device_window
+
+        packed = pack_auto(csr)
+        if isinstance(packed, SellRouted):
+            sd = to_device_routed(packed)
+            kernel = spmm_routed
+        else:
+            sd = to_device_window(packed)
+            kernel = spmm_window
+    elif args.format in ("routed", "sell-routed"):
         from cvr_tpu.formats.sell_routed import sell_pack_routed
         from cvr_tpu.ops.spmv_routed import spmm_routed, to_device_routed
 
         sd = to_device_routed(sell_pack_routed(csr))
         kernel = spmm_routed
+    elif args.format in ("window", "sell-window"):
+        from cvr_tpu.formats.sell_window import sell_pack_window
+        from cvr_tpu.ops.spmv_window import spmm_window, to_device_window
+
+        sd = to_device_window(sell_pack_window(csr))
+        kernel = spmm_window
     else:
         from cvr_tpu.formats.sell import sell_pack
         from cvr_tpu.ops.spmv import sell_spmm_xla, to_device
