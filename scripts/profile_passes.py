@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Per-pass profile of the routed-gather SpMV pipeline.
+
+The reference's cache-locality harness (run_locality.sh) drives VTune
+over each solution's kernel symbol and tabulates L1/L2 hit ratios.  The
+TPU-meaningful analogue is a per-PASS wall-clock table of the pipeline
+(expand / route middle / reduce / y-route) plus each pass's achieved HBM
+bandwidth — the bound every pass should be pushing.
+
+Honest timing rules (docs/DESIGN.md): each measurement loop-carries a
+fresh PRNG-seeded x through the pass prefix, re-deriving x from a
+data-dependent (never-true) predicate so XLA can neither hoist the pass
+out of the loop nor dead-code it; per-pass time is the difference of
+consecutive prefix slopes.
+
+Usage: python scripts/profile_passes.py [--scale 20] [--edge-factor 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=20)
+    ap.add_argument("--edge-factor", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvr_tpu.bench.harness import HBM_BW, detect_chip
+    from cvr_tpu.bench.synthetic import rmat_matrix
+    from cvr_tpu.formats.sell_routed import sell_pack_routed
+    from cvr_tpu.ops import pallas_route as PR
+    from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
+
+    coo = rmat_matrix(
+        scale=args.scale, edge_factor=args.edge_factor, seed=args.seed
+    )
+    csr = coo.to_csr()
+    print(f"matrix: {csr.shape[0]}x{csr.shape[1]}, {csr.nnz} nnz")
+    t0 = time.perf_counter()
+    sr = sell_pack_routed(csr)
+    print(
+        f"pack: {time.perf_counter() - t0:.1f}s, T={sr.T}, "
+        f"S_pad={sr.S_pad}, fillers={sr.n_fillers}"
+    )
+    sd = to_device_routed(sr)
+    ncols = sd.shape[1]
+    hrows = sd.n_segs * sd.segw * 8
+
+    def x2_of(x):
+        return jnp.pad(x, (0, hrows * 128 - ncols)).reshape(hrows, 128)
+
+    # Pass prefixes: each returns something summable.
+    def p_expand(x):
+        return PR.expand(sd.w8, sd.seg_blk, sd.li, x2_of(x), sd.segw)
+
+    def p_m1(x):
+        g1 = p_expand(x)
+        return PR._mid_fused_call(sd.mid.Tk, "m1", PR.use_interpret())(
+            g1, sd.mid.m1
+        )
+
+    def p_csel(x):
+        return PR.chunksel(p_m1(x), sd.mid.csel, sd.mid.Tk)
+
+    def p_full(x):
+        return spmv_routed(sd, x)
+
+    prefixes = [
+        ("expand (+stage1)", p_expand),
+        ("+ middle M1", p_m1),
+        ("+ chunk select", p_csel),
+        ("+ reduce(M3,st3) + y-route = full", p_full),
+    ]
+    if sd.mid.kind != "rec":
+        prefixes = [prefixes[0], prefixes[-1]]
+
+    def slope(fn):
+        """Honest per-call seconds for fn over fresh PRNG x each iter."""
+
+        def run(seed, iters):
+            key = jax.random.PRNGKey(seed)
+
+            def body(i, carry):
+                s, k = carry
+                x = jax.random.normal(k, (ncols,), jnp.float32)
+                out = fn(x)
+                s2 = jnp.sum(out)
+                # data-dependent fold: never true at runtime, opaque to
+                # XLA -> the pass cannot be hoisted out of the loop
+                k2 = jax.random.fold_in(
+                    k, 1 + (s2 > 1e30).astype(jnp.int32)
+                )
+                return s + s2, k2
+
+            s, _ = jax.lax.fori_loop(
+                0, iters, body, (jnp.float32(0), key)
+            )
+            return s
+
+        runj = jax.jit(run, static_argnums=())
+        _ = np.asarray(runj(jnp.int32(0), jnp.int32(1)))  # compile
+
+        def timed(L, seed):
+            t0 = time.perf_counter()
+            _ = np.asarray(runj(jnp.int32(seed), jnp.int32(L)))
+            return time.perf_counter() - t0
+
+        L1 = 4
+        w = timed(L1, 1)
+        while w < 0.4 and L1 < (1 << 18):
+            L1 *= 4
+            w = timed(L1, 1)
+        L2 = 5 * L1
+        t1 = min(timed(L1, 10 + i) for i in range(args.repeats))
+        t2 = min(timed(L2, 100 + i) for i in range(args.repeats))
+        return max(t2 - t1, 1e-12) / (L2 - L1)
+
+    # The PRNG + sum overhead itself (empty prefix).
+    base = slope(lambda x: x)
+    bw = HBM_BW[detect_chip()]
+    times = []
+    for name, fn in prefixes:
+        t = slope(fn) - base
+        times.append((name, t))
+        print(f"  measured {name}: {t * 1e3:.3f} ms cumulative")
+
+    stream_mb = sd.T * 1024 * 4 / 1e6
+    print(f"\nchip: {detect_chip()}  stream: {stream_mb:.0f} MB/pass")
+    print(f"{'pass':^36s} {'ms':>8s} {'GB/s':>8s}  traffic model")
+    prev = 0.0
+    traffic = {
+        # bytes moved per pass (stream reads/writes + index planes)
+        "expand (+stage1)": sd.T * 1024 * (4 + 2),
+        "+ middle M1": sd.T * 1024 * (4 + 4 + 2),
+        "+ chunk select": sd.T * 1024 * (4 + 4 + 2),
+        "+ reduce(M3,st3) + y-route = full": sd.S_pad
+        * 1024
+        * (4 + 4 + 2 + 2),
+    }
+    for name, t in times:
+        dt = t - prev
+        prev = t
+        gbps = traffic.get(name, 0) / max(dt, 1e-12) / 1e9
+        print(f"{name:36s} {dt * 1e3:8.3f} {gbps:8.0f}")
+    full = times[-1][1]
+    print(
+        f"\nfull SpMV: {full * 1e3:.3f} ms = "
+        f"{csr.nnz / full / 1e9:.2f} Gnnz/s = "
+        f"{2 * csr.nnz / full / 1e9:.2f} GFLOPS(2nnz), "
+        f"{100 * csr.nnz * 8 / full / bw:.1f}% of naive 8B/nnz roofline"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
