@@ -23,9 +23,10 @@ data-dependent control flow.
 
 Constraints of the routed path (fall back to the XLA path otherwise):
   * C == 1024 (one VPU tile per slot);
-  * route tiles T <= 262144 (~268M stored nonzeros; HBM capacity) — the
-    device index planes stay int16 because the recursive middle stage
-    only ever indexes within 1024-element chunks;
+  * route tiles T <= 98304 (~100M stored nonzeros; the chunk-select
+    block spans the full Tk = T/1024 axis in VMEM) — the device index
+    planes stay int16 because the recursive middle stage only ever
+    indexes within 1024-element chunks;
   * no ncols limit beyond route tiles: x streams through VMEM in
     8 MB segments selected per tile block (tiles are column-sorted,
     so segment switches are monotone).
@@ -189,12 +190,15 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         T_src_p = int(seg_padded.sum())
 
         T = _round_up(max(T_src_p, S_padded), 1024)
-        if T > 262144:
-            # ~268M stored nnz: the device planes alone (~6 streams of
-            # 4 B/elem) would exceed a v5e's 16 GB HBM — shard first.
+        if T > 98304:
+            # Tk = T/1024 > 96: the chunk-select kernel's block spans the
+            # full Tk axis and would exceed the 16 MB scoped-VMEM limit
+            # even at its minimum QB = 8 (a depth-3 middle stage would
+            # lift this).  ~100M stored nnz per chip; shard above that.
             raise ValueError(
-                f"matrix too large for one chip (T={T}); row-shard it "
-                "across devices (cvr_tpu.parallel.dist)"
+                f"matrix too large for one chip's routed path (T={T}, "
+                "Tk > 96); row-shard it across devices "
+                "(cvr_tpu.parallel.dist)"
             )
         # source stream arrays, filler slots = -1 (vectorized fill)
         src_pos = np.full(T * TILE, -1, dtype=np.int64)

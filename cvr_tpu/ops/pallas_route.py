@@ -586,11 +586,14 @@ def _chunksel_kernel(Tk: int, d_ref, c_ref, o_ref):
 def _qb_for(Tk: int) -> int:
     # block = (8, Tk, QB, 128); in f32 + csel int16 + out f32 = 10 B/elem,
     # double-buffered by Mosaic -> keep single-buffered total under ~5 MB.
+    # QB = 8 is the floor (f32 sublane tile); it holds up to Tk ~ 96
+    # (VMEM scoped limit 16 MB double-buffered), i.e. T <= 98304 tiles =
+    # ~100M stored nnz per chip.  Larger needs a depth-3 middle stage.
     budget = 5 * 1024 * 1024
-    for qb in (256, 128, 64, 32, 16):
+    for qb in (256, 128, 64, 32, 16, 8):
         if 8 * Tk * qb * 128 * (4 + 2 + 4) <= budget:
             return qb
-    return 16
+    return 8
 
 
 @functools.lru_cache(maxsize=None)
