@@ -24,10 +24,16 @@ and XLA's static-shape compilation model.
 
 __version__ = "0.1.0"
 
+from cvr_tpu.formats import pack_auto
 from cvr_tpu.formats.coo import COOMatrix
 from cvr_tpu.formats.csr import CSRMatrix
 from cvr_tpu.formats.sell import SellMatrix, sell_pack
 from cvr_tpu.formats.sell_routed import SellRouted, sell_pack_routed
+from cvr_tpu.formats.sell_window import (
+    SellWindow,
+    WindowInfeasible,
+    sell_pack_window,
+)
 from cvr_tpu.io.mmio import read_matrix_market, write_matrix_market
 from cvr_tpu.ops.spmv import spmv, spmm
 from cvr_tpu.ops.spmv_ref import spmv_csr_jnp, spmv_golden_numpy
@@ -39,6 +45,10 @@ __all__ = [
     "sell_pack",
     "SellRouted",
     "sell_pack_routed",
+    "SellWindow",
+    "WindowInfeasible",
+    "sell_pack_window",
+    "pack_auto",
     "read_matrix_market",
     "write_matrix_market",
     "spmv",
