@@ -20,7 +20,7 @@ __all__ = [
 ]
 
 
-def pack_auto(csr: CSRMatrix):
+def pack_auto(csr: CSRMatrix, max_window_fill: float = 2.0):
     """Pick the fastest packed format for this matrix.
 
     Tries SELL-W (the window/locality path — single fused kernel, O(nnz)
@@ -30,10 +30,26 @@ def pack_auto(csr: CSRMatrix):
     CVR as the one format that handles both regular and scale-free
     matrices (paper Table 3) — here the dispatch is explicit and the
     artifact records which path it took.
+
+    max_window_fill: when the window pack's padding exceeds this factor
+    (short rows with high length variance — road-network class: slice
+    width is the MAX row length over 1024 natural-order rows), the
+    routed path's length-sorted packing wins on throughput despite its
+    route-compile cost; above the threshold the routed artifact is
+    returned instead.  Set it to inf to force the cheap-pack choice
+    (amortization-sensitive runs).  Throughput-optimal is the default,
+    matching the reference's Table 3 protocol (throughput excludes
+    pre-processing).
     """
     from cvr_tpu.formats.sell_routed import sell_pack_routed
 
     try:
-        return sell_pack_window(csr)
+        sw = sell_pack_window(csr)
     except WindowInfeasible:
         return sell_pack_routed(csr)
+    if csr.nnz and sw.padded_nnz / csr.nnz > max_window_fill:
+        try:
+            return sell_pack_routed(csr)
+        except ValueError:  # too large for one chip's routed path
+            return sw
+    return sw

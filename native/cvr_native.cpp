@@ -17,6 +17,8 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <cstdlib>
 #include <cctype>
 #include <charconv>
 #include <cstdint>
@@ -586,6 +588,277 @@ static void euler_split(std::vector<int32_t>& usrc, std::vector<int32_t>& udst,
   euler_split(bsrc, bdst, bgid, n_tiles, kk / 2, base + kk / 2, color);
 }
 
+// ---------------------------------------------------------------------------
+// Fast Euler split for large levels: pairing + double-step cycles.
+//
+// Pair up the incident edges at every vertex (consecutive adjacency
+// entries; degrees are even).  The pairings are involutions pu (at the
+// u endpoint) and pv (at v).  Alternating pu/pv from any edge walks a
+// closed Euler trail; the DOUBLE-step successor next2 = pu o pv is a
+// static permutation of edges whose cycles are exactly the even- and
+// odd-position halves of each trail.  Assigning side(edge) by comparing
+// its cycle's leader with its companion cycle's leader (the cycle of
+// pv[edge]) therefore gives every trail an alternating 2-coloring —
+// every vertex's pairs split one/one, i.e. a perfect degree-halving —
+// WITHOUT any mutable-state walk.
+//
+// Finding cycle leaders of a static permutation is latency-hidden with a
+// ruling set: every R-th edge is a ruler; W interleaved cursors chase
+// ruler->next-ruler segments with software prefetch (independent
+// chains), ruler cycles are stitched sequentially (m/R elements), and a
+// second interleaved pass writes leaders.  Cycles containing no ruler
+// fall through to a sequential sweep (short cycles only).
+// The mutable-walk variant (euler_split above) remains for small levels
+// where everything is cache-resident.
+// ---------------------------------------------------------------------------
+static void euler_split_fast(std::vector<int32_t>& usrc,
+                             std::vector<int32_t>& udst,
+                             std::vector<int32_t>& gid, int64_t n_tiles,
+                             int32_t kk, int32_t base, int32_t* color);
+
+static const int64_t EULER_FAST_MIN = 1 << 16;  // use fast path above 64K edges
+
+static void euler_dispatch(std::vector<int32_t>& usrc,
+                           std::vector<int32_t>& udst,
+                           std::vector<int32_t>& gid, int64_t n_tiles,
+                           int32_t kk, int32_t base, int32_t* color) {
+  if ((int64_t)gid.size() >= EULER_FAST_MIN && kk > 1)
+    euler_split_fast(usrc, udst, gid, n_tiles, kk, base, color);
+  else
+    euler_split(usrc, udst, gid, n_tiles, kk, base, color);
+}
+
+static double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+static bool euler_debug() {
+  static int v = -1;
+  if (v < 0) v = getenv("CVR_EULER_DEBUG") ? 1 : 0;
+  return v;
+}
+
+static void euler_split_fast(std::vector<int32_t>& usrc,
+                             std::vector<int32_t>& udst,
+                             std::vector<int32_t>& gid, int64_t n_tiles,
+                             int32_t kk, int32_t base, int32_t* color) {
+  const int64_t m = (int64_t)gid.size();
+  const int64_t nv = 2 * n_tiles;
+  double t0 = euler_debug() ? now_s() : 0.0;
+
+  // adjacency (counting sort over both endpoints)
+  std::vector<int32_t> deg((size_t)nv, 0);
+  for (int64_t i = 0; i < m; i++) {
+    deg[(size_t)usrc[(size_t)i]]++;
+    deg[(size_t)(n_tiles + udst[(size_t)i])]++;
+  }
+  std::vector<int64_t> off((size_t)nv + 1);
+  off[0] = 0;
+  for (int64_t v = 0; v < nv; v++) off[(size_t)v + 1] = off[(size_t)v] + deg[(size_t)v];
+  std::vector<int32_t> adj((size_t)(2 * m));
+  {
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (int64_t i = 0; i < m; i++) {
+      adj[(size_t)cur[(size_t)usrc[(size_t)i]]++] = (int32_t)i;
+      adj[(size_t)cur[(size_t)(n_tiles + udst[(size_t)i])]++] = (int32_t)i;
+    }
+  }
+  deg.clear(); deg.shrink_to_fit();
+
+  // pairing involutions
+  std::vector<int32_t> pu((size_t)m), pv((size_t)m);
+  for (int64_t v = 0; v < nv; v++) {
+    int32_t* p = (v < n_tiles) ? pu.data() : pv.data();
+    for (int64_t i = off[(size_t)v]; i + 1 < off[(size_t)v + 1]; i += 2) {
+      int32_t a = adj[(size_t)i], b = adj[(size_t)(i + 1)];
+      p[a] = b;
+      p[b] = a;
+    }
+  }
+  off.clear(); off.shrink_to_fit();
+  adj.clear(); adj.shrink_to_fit();
+  if (euler_debug()) {
+    fprintf(stderr, "[euler m=%ld k=%d] adj+pair %.2fs\n", (long)m, kk,
+            now_s() - t0);
+    t0 = now_s();
+  }
+
+  // double-step successor (prefetched gather)
+  std::vector<int32_t> next2((size_t)m);
+  {
+    const int64_t PF = 16;
+    for (int64_t e = 0; e < m; e++) {
+      if (e + PF < m) __builtin_prefetch(&pu[(size_t)pv[(size_t)(e + PF)]]);
+      next2[(size_t)e] = pu[(size_t)pv[(size_t)e]];
+    }
+  }
+
+  if (euler_debug()) {
+    fprintf(stderr, "[euler m=%ld k=%d] next2 %.2fs\n", (long)m, kk,
+            now_s() - t0);
+    t0 = now_s();
+  }
+  // cycle leaders via ruling set
+  std::vector<int32_t> leader((size_t)m, -1);
+  const int64_t R = 256;  // ruler spacing
+  const int W = 32;       // interleaved cursors
+  const int64_t n_rulers = (m + R - 1) / R;
+  std::vector<int32_t> succ_ruler((size_t)n_rulers, -1);
+  {
+    struct Cur { int64_t ruler; int32_t e; };
+    std::vector<Cur> cs;
+    cs.reserve(W);
+    int64_t next_start = 0;
+    auto refill = [&]() {
+      while ((int64_t)cs.size() < W && next_start < n_rulers) {
+        int64_t r = next_start++;
+        cs.push_back({r, next2[(size_t)(r * R)]});
+      }
+    };
+    refill();
+    while (!cs.empty()) {
+      for (size_t c = 0; c < cs.size();) {
+        int32_t e = cs[c].e;
+        if ((e % R) == 0) {  // hit a ruler: segment done
+          succ_ruler[(size_t)cs[c].ruler] = (int32_t)(e / R);
+          cs[c] = cs.back();
+          cs.pop_back();
+          continue;
+        }
+        int32_t nx = next2[(size_t)e];
+        __builtin_prefetch(&next2[(size_t)nx]);
+        cs[c].e = nx;
+        c++;
+      }
+      refill();
+    }
+  }
+  // stitch ruler cycles sequentially (n_rulers elements, cache-resident)
+  std::vector<int32_t> ruler_leader((size_t)n_rulers, -1);
+  {
+    std::vector<int32_t> path;
+    for (int64_t r = 0; r < n_rulers; r++) {
+      if (ruler_leader[(size_t)r] != -1) continue;
+      path.clear();
+      int32_t lead = (int32_t)(r * R);
+      int64_t x = r;
+      while (ruler_leader[(size_t)x] == -1) {
+        ruler_leader[(size_t)x] = -2;  // on path
+        path.push_back((int32_t)x);
+        x = succ_ruler[(size_t)x];
+        if (ruler_leader[(size_t)x] == -1 && (int32_t)(x * R) < lead)
+          lead = (int32_t)(x * R);
+      }
+      // succ_ruler is a permutation of rulers (segments partition each
+      // cycle), so an unresolved chain always closes on itself (-2).
+      int32_t final_lead =
+          ruler_leader[(size_t)x] >= 0 ? ruler_leader[(size_t)x] : lead;
+      for (int32_t pr : path) ruler_leader[(size_t)pr] = final_lead;
+    }
+  }
+  // write leaders along ruler segments (interleaved)
+  {
+    struct Cur { int32_t lead; int32_t e; };
+    std::vector<Cur> cs;
+    cs.reserve(W);
+    int64_t next_start = 0;
+    auto refill = [&]() {
+      while ((int64_t)cs.size() < W && next_start < n_rulers) {
+        int64_t r = next_start++;
+        int32_t lead = ruler_leader[(size_t)r];
+        leader[(size_t)(r * R)] = lead;
+        cs.push_back({lead, next2[(size_t)(r * R)]});
+      }
+    };
+    refill();
+    while (!cs.empty()) {
+      for (size_t c = 0; c < cs.size();) {
+        int32_t e = cs[c].e;
+        if ((e % R) == 0) {  // next ruler: already written
+          cs[c] = cs.back();
+          cs.pop_back();
+          continue;
+        }
+        leader[(size_t)e] = cs[c].lead;
+        int32_t nx = next2[(size_t)e];
+        __builtin_prefetch(&next2[(size_t)nx]);
+        cs[c].e = nx;
+        c++;
+      }
+      refill();
+    }
+  }
+  if (euler_debug()) {
+    fprintf(stderr, "[euler m=%ld k=%d] chases %.2fs\n", (long)m, kk,
+            now_s() - t0);
+    t0 = now_s();
+  }
+  // leftover cycles with no ruler (short): sequential sweep
+  for (int64_t e = 0; e < m; e++) {
+    if (leader[(size_t)e] >= 0) continue;
+    int32_t x = (int32_t)e;
+    while (leader[(size_t)x] < 0) {
+      leader[(size_t)x] = (int32_t)e;
+      x = next2[(size_t)x];
+    }
+  }
+  next2.clear(); next2.shrink_to_fit();
+
+  if (euler_debug()) {
+    fprintf(stderr, "[euler m=%ld k=%d] leftovers %.2fs\n", (long)m, kk,
+            now_s() - t0);
+    t0 = now_s();
+  }
+  // side = (my cycle's leader > companion cycle's leader)
+  int64_t na = 0;
+  std::vector<uint8_t> side((size_t)m);
+  {
+    const int64_t PF = 16;
+    for (int64_t e = 0; e < m; e++) {
+      if (e + PF < m) __builtin_prefetch(&leader[(size_t)pv[(size_t)(e + PF)]]);
+      uint8_t s = leader[(size_t)e] > leader[(size_t)pv[(size_t)e]];
+      side[(size_t)e] = s;
+      na += (s == 0);
+    }
+  }
+  pu.clear(); pu.shrink_to_fit();
+  pv.clear(); pv.shrink_to_fit();
+  leader.clear(); leader.shrink_to_fit();
+
+  if (euler_debug()) {
+    fprintf(stderr, "[euler m=%ld k=%d] side %.2fs\n", (long)m, kk,
+            now_s() - t0);
+    t0 = now_s();
+  }
+  // partition into the two halves, compacted (as in euler_split)
+  std::vector<int32_t> asrc((size_t)na), adst((size_t)na), agid((size_t)na);
+  std::vector<int32_t> bsrc((size_t)(m - na)), bdst((size_t)(m - na)),
+      bgid((size_t)(m - na));
+  int64_t ia = 0, ib = 0;
+  for (int64_t i = 0; i < m; i++) {
+    if (side[(size_t)i] == 0) {
+      asrc[(size_t)ia] = usrc[(size_t)i];
+      adst[(size_t)ia] = udst[(size_t)i];
+      agid[(size_t)ia] = gid[(size_t)i];
+      ia++;
+    } else {
+      bsrc[(size_t)ib] = usrc[(size_t)i];
+      bdst[(size_t)ib] = udst[(size_t)i];
+      bgid[(size_t)ib] = gid[(size_t)i];
+      ib++;
+    }
+  }
+  usrc.clear(); usrc.shrink_to_fit();
+  udst.clear(); udst.shrink_to_fit();
+  gid.clear(); gid.shrink_to_fit();
+  euler_dispatch(asrc, adst, agid, n_tiles, kk / 2, base, color);
+  asrc.clear(); asrc.shrink_to_fit();
+  adst.clear(); adst.shrink_to_fit();
+  agid.clear(); agid.shrink_to_fit();
+  euler_dispatch(bsrc, bdst, bgid, n_tiles, kk / 2, base + kk / 2, color);
+}
+
 int cvr_euler_color(int64_t n_edges, const int32_t* src, const int32_t* dst,
                     int64_t n_tiles, int32_t k, int32_t* color_out) {
   if (k <= 0 || (k & (k - 1))) return fail("k must be a power of two");
@@ -595,7 +868,7 @@ int cvr_euler_color(int64_t n_edges, const int32_t* src, const int32_t* dst,
   std::vector<int32_t> udst(dst, dst + n_edges);
   std::vector<int32_t> gid((size_t)n_edges);
   for (int64_t i = 0; i < n_edges; i++) gid[(size_t)i] = (int32_t)i;
-  euler_split(usrc, udst, gid, n_tiles, k, 0, color_out);
+  euler_dispatch(usrc, udst, gid, n_tiles, k, 0, color_out);
   return 0;
 }
 

@@ -187,3 +187,17 @@ def test_window_numpy_vs_native_fill():
     np.testing.assert_array_equal(a.w10, b.w10)
     np.testing.assert_array_equal(a.emit, b.emit)
     assert a.W == b.W
+
+
+def test_pack_auto_fill_ratio_dispatch():
+    # road-network class: window-feasible but badly padded (slice width =
+    # max row length over natural-order rows with Poisson degrees) —
+    # pack_auto should fall through to the routed format on throughput
+    # grounds, unless the caller raises max_window_fill.
+    from cvr_tpu.bench.synthetic import road_usa_like
+
+    csr = road_usa_like(n=1 << 17, deg=2.5, reach=48, seed=3).to_csr()
+    assert isinstance(pack_auto(csr), SellRouted)
+    assert isinstance(
+        pack_auto(csr, max_window_fill=float("inf")), SellWindow
+    )
