@@ -31,6 +31,15 @@ class COOMatrix:
     def nnz(self) -> int:
         return int(self.rows.shape[0])
 
+    def transpose(self) -> "COOMatrix":
+        """A^T (swap row/col ids) — e.g. PageRank follows in-links."""
+        return COOMatrix(
+            rows=self.cols,
+            cols=self.rows,
+            vals=self.vals,
+            shape=(self.shape[1], self.shape[0]),
+        )
+
     def sorted_by_row(self) -> "COOMatrix":
         """Stable (row, col) sort — the reference qsorts COO the same way
         before CSR assembly (spmv.cpp:485, comparator spmv.cpp:131-144)."""
