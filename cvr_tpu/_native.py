@@ -115,7 +115,13 @@ def get_lib():
         _i64, _i64, _i64, _i64p, _i32p, _f32p, _i64p, _i64p, _i32p,
         _i64, _f32p, _i16p,
     ]
-    if lib.cvr_version() != 7:
+    lib.cvr_bsr_count.restype = _i64
+    lib.cvr_bsr_count.argtypes = [_i64, _i64, _i64p, _i32p]
+    lib.cvr_bsr_fill.restype = ctypes.c_int
+    lib.cvr_bsr_fill.argtypes = [
+        _i64, _i64, _i64p, _i32p, _f32p, _i64, _i32p, _i32p, _f32p,
+    ]
+    if lib.cvr_version() != 8:
         return None
     _LIB = lib
     return _LIB
@@ -371,6 +377,40 @@ def window_fill_ss_native(
     if rc != 0:
         raise NativeError(native_error(lib))
     return vals_ss, li_ss
+
+
+def bsr_count_native(nrows, ncb, rowptr, csr_cols) -> int:
+    """Occupied 128x128 brick count (BSR pass 1)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    return int(
+        lib.cvr_bsr_count(
+            nrows, ncb,
+            np.ascontiguousarray(rowptr, dtype=np.int64),
+            np.ascontiguousarray(csr_cols, dtype=np.int32),
+        )
+    )
+
+
+def bsr_fill_native(nrows, ncb, rowptr, csr_cols, csr_vals, nbricks):
+    """Brick coordinates + dense value planes (BSR pass 2)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    brick_row = np.empty(nbricks, dtype=np.int32)
+    brick_col = np.empty(nbricks, dtype=np.int32)
+    bvals = np.zeros((nbricks, 128, 128), dtype=np.float32)
+    rc = lib.cvr_bsr_fill(
+        nrows, ncb,
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(csr_cols, dtype=np.int32),
+        np.ascontiguousarray(csr_vals, dtype=np.float32),
+        nbricks, brick_row, brick_col, bvals,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return brick_row, brick_col, bvals
 
 
 def available() -> bool:

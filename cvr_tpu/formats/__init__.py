@@ -1,3 +1,4 @@
+from cvr_tpu.formats.bsr import BsrInfeasible, BsrMatrix, bsr_pack
 from cvr_tpu.formats.coo import COOMatrix
 from cvr_tpu.formats.csr import CSRMatrix
 from cvr_tpu.formats.sell import SellMatrix, sell_pack, sell_unpack
@@ -8,6 +9,9 @@ from cvr_tpu.formats.sell_window import (
 )
 
 __all__ = [
+    "BsrInfeasible",
+    "BsrMatrix",
+    "bsr_pack",
     "COOMatrix",
     "CSRMatrix",
     "SellMatrix",

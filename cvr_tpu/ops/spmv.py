@@ -205,12 +205,21 @@ def spmv(A, x, impl: str = "auto"):
 def spmm(A, X, impl: str = "auto"):
     """Y = A @ X for dense X [ncols, K].
 
-    SellRouted inputs use K vmapped routed pipelines (also the safe path
-    for web-scale matrices: the XLA segment-sum SpMM can crash the TPU
-    worker there).
+    BsrMatrix/BsrDevice inputs run the dense-brick MXU path
+    (cvr_tpu/ops/spmm_bsr.py) — the fastest SpMM by an order of
+    magnitude on locality-structured matrices; pack with
+    ``cvr_tpu.bsr_pack``.  SellRouted inputs use K vmapped routed
+    pipelines (any structure; also the safe path for web-scale
+    matrices: the XLA segment-sum SpMM can crash the TPU worker there).
     """
+    from cvr_tpu.formats.bsr import BsrMatrix
     from cvr_tpu.formats.sell_routed import SellRouted
     from cvr_tpu.formats.sell_window import SellWindow
+    from cvr_tpu.ops.spmm_bsr import (
+        BsrDevice,
+        _jitted_spmm_bsr,
+        to_device_bsr,
+    )
     from cvr_tpu.ops.spmv_routed import (
         SellRoutedDevice,
         _jitted_spmm_routed,
@@ -222,6 +231,10 @@ def spmm(A, X, impl: str = "auto"):
         to_device_window,
     )
 
+    if isinstance(A, BsrMatrix):
+        A = to_device_bsr(A)
+    if isinstance(A, BsrDevice):
+        return _jitted_spmm_bsr()(A, jnp.asarray(X))
     if isinstance(A, SellRouted):
         A = to_device_routed(A)
     if isinstance(A, SellWindow):

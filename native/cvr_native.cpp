@@ -945,6 +945,71 @@ int cvr_mid_edges(int64_t T, const int32_t* mid, int32_t* src, int32_t* dst) {
   return 0;
 }
 
-int cvr_version() { return 7; }
+// BSR-128 densification (formats/bsr.py): enumerate occupied 128x128
+// bricks per 128-row block, CSR order exploited so no global sort is
+// needed (the epoch-stamped map dedupes within a row block).
+int64_t cvr_bsr_count(int64_t nrows, int64_t ncb, const int64_t* rowptr,
+                      const int32_t* cols) {
+  std::vector<int32_t> stamp((size_t)ncb, -1);
+  int64_t nb = 0;
+  int64_t nrb = (nrows + 127) >> 7;
+  for (int64_t rb = 0; rb < nrb; rb++) {
+    int64_t r1 = std::min(nrows, (rb + 1) << 7);
+    for (int64_t i = rowptr[rb << 7]; i < rowptr[r1]; i++) {
+      int32_t cb = cols[i] >> 7;
+      if (stamp[cb] != (int32_t)rb) {
+        stamp[cb] = (int32_t)rb;
+        nb++;
+      }
+    }
+  }
+  return nb;
+}
+
+// Second pass: brick coordinates (sorted by (row block, col block)) and
+// the dense value planes.  bvals must be zeroed by the caller.
+int cvr_bsr_fill(int64_t nrows, int64_t ncb, const int64_t* rowptr,
+                 const int32_t* cols, const float* vals, int64_t nbricks,
+                 int32_t* brick_row, int32_t* brick_col, float* bvals) {
+  std::vector<int32_t> stamp((size_t)ncb, -1);
+  std::vector<int64_t> bidx((size_t)ncb, 0);
+  std::vector<int32_t> local;
+  local.reserve(256);
+  int64_t nb = 0;
+  int64_t nrb = (nrows + 127) >> 7;
+  for (int64_t rb = 0; rb < nrb; rb++) {
+    int64_t r0 = rb << 7;
+    int64_t r1 = std::min(nrows, r0 + 128);
+    local.clear();
+    for (int64_t i = rowptr[r0]; i < rowptr[r1]; i++) {
+      int32_t cb = cols[i] >> 7;
+      if (stamp[cb] != (int32_t)rb) {
+        stamp[cb] = (int32_t)rb;
+        local.push_back(cb);
+      }
+    }
+    std::sort(local.begin(), local.end());
+    for (int32_t cb : local) {
+      if (nb >= nbricks)
+        return fail("bsr_fill: brick count changed between passes");
+      brick_row[nb] = (int32_t)rb;
+      brick_col[nb] = cb;
+      bidx[cb] = nb;
+      nb++;
+    }
+    for (int64_t r = r0; r < r1; r++) {
+      for (int64_t i = rowptr[r]; i < rowptr[r + 1]; i++) {
+        int32_t c = cols[i];
+        bvals[(bidx[c >> 7] << 14) + ((r & 127) << 7) + (c & 127)] =
+            vals[i];
+      }
+    }
+  }
+  if (nb != nbricks)
+    return fail("bsr_fill: brick count changed between passes");
+  return 0;
+}
+
+int cvr_version() { return 8; }
 
 }  // extern "C"
