@@ -62,8 +62,20 @@ def to_device_bsr(bm: BsrMatrix, device=None) -> BsrDevice:
     )
 
 
-def spmm_bsr(dev: BsrDevice, X: jax.Array) -> jax.Array:
-    """Y = A @ X for dense X [ncols, K] (f32 compute, f32-grade exact)."""
+def spmm_bsr(
+    dev: BsrDevice,
+    X: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Y = A @ X for dense X [ncols, K].
+
+    precision=HIGHEST (default): XLA's 6-pass bf16 decomposition —
+    f32-grade exact (~5e-7 scaled error), the framework's verification
+    contract.  Measured HIGH (3-pass, ~3e-5 error) runs at the SAME
+    speed as HIGHEST at K=128 on banded-1M: the path is bound by HBM
+    traffic of the materialized X-block gather, not by MXU passes —
+    exactness is free here.
+    """
     nrows, ncols = dev.shape
     K = X.shape[1]
     Xp = jnp.pad(
@@ -74,7 +86,7 @@ def spmm_bsr(dev: BsrDevice, X: jax.Array) -> jax.Array:
         dev.vals,
         gx,
         (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )
     Y = jax.ops.segment_sum(
@@ -88,4 +100,4 @@ def spmm_bsr(dev: BsrDevice, X: jax.Array) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def _jitted_spmm_bsr():
-    return jax.jit(spmm_bsr)
+    return jax.jit(spmm_bsr, static_argnames=("precision",))
