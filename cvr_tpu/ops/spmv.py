@@ -234,7 +234,11 @@ def spmm(A, X, impl: str = "auto"):
     if isinstance(A, BsrMatrix):
         A = to_device_bsr(A)
     if isinstance(A, BsrDevice):
-        return _jitted_spmm_bsr()(A, jnp.asarray(X))
+        if impl == "bsr-xla":
+            return _jitted_spmm_bsr()(A, jnp.asarray(X))
+        from cvr_tpu.ops.pallas_bsr import _jitted_bsr_spmm_pallas
+
+        return _jitted_bsr_spmm_pallas()(A, jnp.asarray(X))
     if isinstance(A, SellRouted):
         A = to_device_routed(A)
     if isinstance(A, SellWindow):

@@ -105,3 +105,31 @@ def test_bsr_spmm_dispatcher():
     Y = np.asarray(spmm(bm, X))
     gold, scale = _golden(coo, X)
     assert (np.abs(Y - gold) / scale).max() < 1e-6
+
+
+def _check_pallas(coo, K=17, seed=9, **kw):
+    from cvr_tpu.ops.pallas_bsr import bsr_spmm_pallas
+
+    csr = coo.to_csr()
+    dev = to_device_bsr(bsr_pack(csr, **kw))
+    X = (
+        np.random.default_rng(seed)
+        .standard_normal((coo.shape[1], K))
+        .astype(np.float32)
+    )
+    Y = np.asarray(bsr_spmm_pallas(dev, X))
+    gold, scale = _golden(coo, X)
+    maxrel = (np.abs(Y - gold) / scale).max()
+    assert maxrel < 1e-6, maxrel
+
+
+def test_bsr_pallas_banded():
+    _check_pallas(banded_matrix(n=2000, bandwidth=9, seed=0))
+
+
+def test_bsr_pallas_rect_and_kpad():
+    # non-square, K not a lane multiple, scattered bricks
+    _check_pallas(
+        make_random_coo(500, 700, density=0.03, seed=4), K=5,
+        min_fill=0.0,
+    )
