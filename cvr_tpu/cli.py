@@ -44,6 +44,14 @@ def cmd_spmv(args) -> int:
     if args.rhs > 1:
         return _spmm(args, coo)
 
+    if args.format == "bsr":
+        print(
+            "error: --format bsr is an SpMM format (dense 128x128 "
+            "bricks on the MXU); use it with --rhs K > 1",
+            file=sys.stderr,
+        )
+        return 2
+
     if args.load_packed:
         return _spmv_prepacked(args, coo)
 
@@ -183,7 +191,24 @@ def _spmm(args, coo) -> int:
 
     csr = coo.to_csr()
     t0 = time.perf_counter()
-    if args.format == "auto":
+    sd = kernel = None
+    if args.format in ("auto", "bsr"):
+        # The MXU dense-brick path is the fastest SpMM by an order of
+        # magnitude when the matrix has block locality; auto falls back
+        # to the gather formats when the brick-fill gate rejects it.
+        from cvr_tpu.formats.bsr import BsrInfeasible, bsr_pack
+        from cvr_tpu.ops.pallas_bsr import bsr_spmm_pallas
+        from cvr_tpu.ops.spmm_bsr import to_device_bsr
+
+        try:
+            sd = to_device_bsr(bsr_pack(csr))
+            kernel = bsr_spmm_pallas
+        except BsrInfeasible:
+            if args.format == "bsr":
+                raise
+    if sd is not None:
+        pass
+    elif args.format == "auto":
         from cvr_tpu.formats import pack_auto
         from cvr_tpu.formats.sell_routed import SellRouted
         from cvr_tpu.ops.spmv_routed import spmm_routed, to_device_routed
@@ -302,8 +327,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--format",
         default="auto",
         choices=[
-            "auto", "routed", "sell-routed", "window", "sell-window",
-            "sell", "sell-pallas", "csr",
+            "auto", "bsr", "routed", "sell-routed", "window",
+            "sell-window", "sell", "sell-pallas", "csr",
         ],
     )
     p.add_argument("--rhs", type=int, default=1, help="K for SpMM")
