@@ -203,9 +203,10 @@ def _spmm(args, coo) -> int:
         try:
             sd = to_device_bsr(bsr_pack(csr))
             kernel = bsr_spmm_pallas
-        except BsrInfeasible:
+        except BsrInfeasible as e:
             if args.format == "bsr":
-                raise
+                print(f"error: {e}", file=sys.stderr)
+                return 2
     if sd is not None:
         pass
     elif args.format == "auto":

@@ -143,6 +143,27 @@ def bsr_pack(
             dest = (inv << 14) + ((r & 127) << 7) + (c & 127)
             # CSR has unique (row, col) pairs so plain scatter is exact.
             vals.reshape(-1)[dest] = csr.vals.astype(np.float32)
+        # The fused Pallas kernel (ops/pallas_bsr.py) zeroes an output
+        # block only when a brick visits it; a row block with no bricks
+        # (128 consecutive empty rows) would leave its Y rows as
+        # uninitialized HBM.  Guarantee every row block is visited by
+        # emitting one all-zero brick per empty row block.
+        nrb = max(1, _round_up(nrows, B) // B)
+        missing = np.setdiff1d(
+            np.arange(nrb, dtype=np.int32), brick_row, assume_unique=False
+        )
+        if missing.shape[0]:
+            vals = np.concatenate(
+                [vals, np.zeros((missing.shape[0], B, B), np.float32)]
+            )
+            brick_row = np.concatenate([brick_row, missing])
+            brick_col = np.concatenate(
+                [brick_col, np.zeros(missing.shape[0], np.int32)]
+            )
+            order = np.argsort(brick_row, kind="stable")
+            vals, brick_row, brick_col = (
+                vals[order], brick_row[order], brick_col[order]
+            )
 
     return BsrMatrix(
         vals=vals,

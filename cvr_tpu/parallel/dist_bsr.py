@@ -98,6 +98,12 @@ def dist_bsr_pack(
         - 1
     )
     local = row_ids - rb_bounds[shard_of_row] * B
+    # the stacked flat index is device int32; guard against wraparound
+    if D * nrb_local_max * B >= 2**31:
+        raise ValueError(
+            "stacked local-y index exceeds int32 range "
+            f"({D} shards x {nrb_local_max * B} padded rows)"
+        )
     unpad = (shard_of_row * (nrb_local_max * B) + local).astype(np.int32)
 
     sharding = NamedSharding(mesh, P(AXIS))

@@ -165,6 +165,11 @@ def dist_window_pack(
         np.searchsorted(bounds, row_ids, side="right").astype(np.int64) - 1
     )
     local_idx = row_ids - bounds[shard_of_row]
+    if n_shards * rows_max >= 2**31:
+        raise ValueError(
+            "stacked local-y index exceeds int32 range "
+            f"({n_shards} shards x {rows_max} padded rows)"
+        )
     unpad = (shard_of_row * rows_max + local_idx).astype(np.int32)
 
     s0 = shards[0]

@@ -133,3 +133,40 @@ def test_bsr_pallas_rect_and_kpad():
         make_random_coo(500, 700, density=0.03, seed=4), K=5,
         min_fill=0.0,
     )
+
+
+def test_bsr_empty_row_block():
+    """A 128-row block with no nonzeros at all.
+
+    The fused Pallas kernel zeroes an output block only when a brick
+    visits it; in compiled mode an unvisited block is uninitialized HBM
+    (interpret mode zero-fills, hiding the bug).  The pack therefore
+    guarantees every row block is visited by an all-zero brick — assert
+    that structural invariant here (it is what compiled mode relies on),
+    plus exact zeros end-to-end on both SpMM paths.
+    """
+    from cvr_tpu.formats.coo import COOMatrix
+    from cvr_tpu.ops.pallas_bsr import bsr_spmm_pallas
+
+    # rows [128, 384) form two entirely empty row blocks
+    rows = np.array([0, 5, 127, 400, 450, 511], dtype=np.int32)
+    cols = np.array([3, 200, 100, 7, 300, 64], dtype=np.int32)
+    vals = np.arange(1, 7, dtype=np.float32)
+    coo = COOMatrix(rows=rows, cols=cols, vals=vals, shape=(512, 512))
+    bm = bsr_pack(coo.to_csr(), min_fill=0.0)
+    # every row block visited (what the compiled Pallas kernel needs)
+    assert set(bm.brick_row.tolist()) == set(range(4))
+    key = bm.brick_row.astype(np.int64) * (1 << 32) + bm.brick_col
+    assert (np.diff(key) >= 0).all() and (np.diff(bm.brick_row) >= 0).all()
+
+    X = (
+        np.random.default_rng(1)
+        .standard_normal((512, 17))
+        .astype(np.float32)
+    )
+    dev = to_device_bsr(bm)
+    for fn in (spmm_bsr, bsr_spmm_pallas):
+        Y = np.asarray(fn(dev, X))
+        gold, scale = _golden(coo, X)
+        assert (np.abs(Y - gold) / scale).max() < 1e-6
+        assert (Y[128:384] == 0).all()
