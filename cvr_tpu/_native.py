@@ -121,7 +121,28 @@ def get_lib():
     lib.cvr_bsr_fill.argtypes = [
         _i64, _i64, _i64p, _i32p, _f32p, _i64, _i32p, _i32p, _f32p,
     ]
-    if lib.cvr_version() != 8:
+    lib.cvr_stream_count.restype = _i64
+    lib.cvr_stream_count.argtypes = [
+        _i64, _i64, _i64p, _i32p, _i64, _i64, _i64, _i64p,
+    ]
+    lib.cvr_stream_fill.restype = ctypes.c_int
+    lib.cvr_stream_fill.argtypes = [
+        _i64, _i64, _i64p, _i32p, _i64, _i64, _i64, _i64p, _i64,
+        _i32p, _i16p, _i32p, _i32p,
+    ]
+    lib.cvr_euler_color_perm.restype = ctypes.c_int
+    lib.cvr_euler_color_perm.argtypes = [_i64, _i32p, _i64, _i32p]
+    lib.cvr_route_planes_fused.restype = ctypes.c_int
+    lib.cvr_route_planes_fused.argtypes = [
+        _i64, _i32p, _i32p, _i64, _i64, _i16p, _i16p, _i32p, _i16p,
+    ]
+    lib.cvr_color_rows_cap.restype = ctypes.c_int
+    lib.cvr_color_rows_cap.argtypes = [_i64, _i64, _i32p, _i32p]
+    lib.cvr_mid_planes_ss.restype = ctypes.c_int
+    lib.cvr_mid_planes_ss.argtypes = [
+        _i64, _i32p, _i32p, _i16p, _i16p, _i16p,
+    ]
+    if lib.cvr_version() != 10:
         return None
     _LIB = lib
     return _LIB
@@ -411,6 +432,108 @@ def bsr_fill_native(nrows, ncb, rowptr, csr_cols, csr_vals, nbricks):
     if rc != 0:
         raise NativeError(native_error(lib))
     return brick_row, brick_col, bvals
+
+
+def stream_build_native(
+    rmap, cols_plane, S_padded: int, nwin_total: int, segw: int, TB: int,
+    force_T: int = 0,
+):
+    """Routed-pack stream builder: counting sort of plane elements by
+    1024-column window, per-segment TB padding, route perm + li planes in
+    two native passes (replaces the numpy argsort/scatter path).
+
+    Returns (perm int32[T*1024], li_flat int16[T*1024], w8 int32[T],
+    seg_blk int32[T//TB], T, T_src_p).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    rmap = np.ascontiguousarray(rmap, dtype=np.int64)
+    cols_plane = np.ascontiguousarray(cols_plane, dtype=np.int32)
+    S = rmap.shape[0]
+    wcnt = np.empty(nwin_total, dtype=np.int64)
+    T_src_p = int(
+        lib.cvr_stream_count(
+            S, S_padded, rmap, cols_plane, nwin_total, segw, TB, wcnt
+        )
+    )
+    T = -(-max(T_src_p, S_padded) // 1024) * 1024
+    if force_T:
+        if force_T < T:
+            raise ValueError(f"force_T {force_T} < required T {T}")
+        T = force_T
+    perm = np.empty(T * 1024, dtype=np.int32)
+    li_flat = np.empty(T * 1024, dtype=np.int16)
+    w8 = np.empty(T, dtype=np.int32)
+    seg_blk = np.empty(T // TB, dtype=np.int32)
+    rc = lib.cvr_stream_fill(
+        S, S_padded, rmap, cols_plane, nwin_total, segw, TB, wcnt, T,
+        perm, li_flat, w8, seg_blk,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return perm, li_flat, w8, seg_blk, T, T_src_p
+
+
+def euler_color_perm_native(perm, T: int):
+    """Edge coloring with dst(i) = i >> 10 derived, src = perm >> 10."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    perm = np.ascontiguousarray(perm, dtype=np.int32)
+    color = np.empty(perm.shape[0], dtype=np.int32)
+    rc = lib.cvr_euler_color_perm(perm.shape[0], perm, T, color)
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return color
+
+
+def route_planes_fused_native(perm, colors, T: int, S_pad: int, li_flat):
+    """Stage planes in sublane-split device layout with the stage-1 li
+    composition fused.  Returns (li_ss (8,T,128) i16, mid (1024,T) i32,
+    p3_ss (8,S_pad,128) i16)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    n = perm.shape[0]
+    li_ss = np.zeros((8, T, 128), dtype=np.int16)
+    mid = np.empty((1024, T), dtype=np.int32)
+    p3_ss = np.zeros((8, S_pad, 128), dtype=np.int16)
+    rc = lib.cvr_route_planes_fused(
+        n, perm, colors, T, S_pad,
+        np.ascontiguousarray(li_flat, dtype=np.int16), li_ss, mid, p3_ss,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return li_ss, mid, p3_ss
+
+
+def color_rows_cap_native(mid, T: int, tk: int):
+    """Per-row chunk colorings on the aggregated capacity matrix."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    mid = np.ascontiguousarray(mid, dtype=np.int32)
+    color = np.empty(1024 * T, dtype=np.int32)
+    rc = lib.cvr_color_rows_cap(T, tk, mid, color)
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return color
+
+
+def mid_planes_ss_native(mid, T: int, colors_rows):
+    """Recursive-middle planes directly in sublane-split device layout
+    (8, T, 128) — skips the numpy relayout pass."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    m1 = np.zeros((8, T, 128), dtype=np.int16)
+    csel = np.zeros((8, T, 128), dtype=np.int16)
+    m3 = np.zeros((8, T, 128), dtype=np.int16)
+    rc = lib.cvr_mid_planes_ss(T, mid, colors_rows, m1, csel, m3)
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return m1, csel, m3
 
 
 def available() -> bool:

@@ -45,6 +45,20 @@ from cvr_tpu.utils.timing import PhaseTimer
 TILE = 1024
 
 
+@dataclass
+class RoutedForce:
+    """Geometry overrides so independently packed row shards share one
+    kernel geometry (shard_map requires one program + uniform local
+    shapes; see cvr_tpu/parallel/dist_routed.py).  Every field must be >=
+    the shard's natural value."""
+
+    rcp: np.ndarray | None = None  # per-reduce-call padded row counts
+    nslices: int | None = None  # uniform slice count
+    T: int | None = None  # uniform route tiles
+    nrows_out: int | None = None  # y-route output length (>= nrows)
+    n_extras: int | None = None  # pad split-row extras to this count
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -96,6 +110,19 @@ def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
     if split_len is None:
         mean_len = -(-max(csr.nnz, 1) // max(csr.shape[0], 1))
         split_len = max(1024, 16 * mean_len)
+        # Prefer a geometry with <= 1024 slices: one reduce call AND a
+        # flat (single-level) y-route — both faster at SpMV time and the
+        # y-route plan drops its recursive middle at pack time.  Splits
+        # add segments (G = sum max(1, ceil(len/split_len))); widen
+        # split_len (bounded padding: slices stay length-sorted) until G
+        # fits, up to 4x the default.
+        lens = np.diff(csr.rowptr)
+        for mult in (1, 2, 4):
+            sl = split_len * mult
+            G = int(np.maximum(1, -(-lens // sl)).sum())
+            if G <= TILE * TILE:
+                split_len = sl
+                break
     sm = sell_pack(csr, C=TILE, split_len=split_len)
     sr = pack_routed(sm)
     sr.convert_time += sm.convert_time
@@ -103,25 +130,42 @@ def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
     return sr
 
 
-def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
-    """Compile a SellMatrix (C=1024) into the routed-SpMV artifact."""
+def pack_routed(
+    sm: SellMatrix, ch: int = 128, force: RoutedForce | None = None
+) -> SellRouted:
+    """Compile a SellMatrix (C=1024) into the routed-SpMV artifact.
+
+    ``force`` pins the kernel geometry (tiles, reduce-call row counts,
+    slice count, y length, extras count) so independently packed shards
+    compile to one shard_map program (cvr_tpu/parallel/dist_routed.py).
+    """
     if sm.C != TILE:
         raise ValueError("routed path requires C == 1024")
     pt = PhaseTimer()
-    from cvr_tpu.ops.pallas_route import CH, YB
+    from cvr_tpu.ops.pallas_route import CH, YB, SEGW, TB, middle_planes_from
 
     S = sm.n_slots
     nrows, ncols = sm.shape
     nslices = sm.nslices
+    nslices_u = nslices
+    if force is not None and force.nslices is not None:
+        if force.nslices < nslices:
+            raise ValueError("force.nslices below natural slice count")
+        nslices_u = force.nslices
     # Reduce-call grouping: YB slices per call (the per-call y block must
     # fit VMEM); each group's plane-row range is padded with zero rows to
     # a CH multiple so the reduce grid tiles cleanly.
-    n_ycalls = max(1, -(-nslices // YB))
+    n_ycalls = max(1, -(-nslices_u // YB))
     offs = sm.slice_offsets.astype(np.int64)
     gstart = offs[np.minimum(np.arange(n_ycalls) * YB, nslices)]
     gend = offs[np.minimum((np.arange(n_ycalls) + 1) * YB, nslices)]
     rc = gend - gstart
     rcp = -(-rc // CH) * CH
+    if force is not None and force.rcp is not None:
+        frcp = np.asarray(force.rcp, dtype=np.int64)
+        if frcp.shape[0] != n_ycalls or (frcp < rcp).any():
+            raise ValueError("force.rcp must cover natural group rows")
+        rcp = frcp
     gshift = np.zeros(n_ycalls, dtype=np.int64)
     np.cumsum((rcp - rc)[:-1], out=gshift[1:])
     # old plane row -> padded plane row
@@ -129,8 +173,43 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
     rmap = np.arange(S, dtype=np.int64) + gshift[
         np.minimum(grp_of_row, n_ycalls - 1)
     ]
-    S_padded = int(rcp.sum()) if S else 0
+    S_padded = int(rcp.sum()) if S or (force is not None) else 0
     N_plane = S_padded * TILE
+    force_T = 0 if force is None or force.T is None else int(force.T)
+
+    from cvr_tpu import _native
+
+    if _native.available() and hasattr(_native, "stream_build_native"):
+        # Native fast path: counting sort by 1024-column window (only
+        # window granularity matters for the expand gather), per-segment
+        # TB padding, route perm, Euler coloring and fused stage planes —
+        # each a single O(nnz) native pass.  Mirrors how the reference's
+        # converter is itself optimized native code whose cost is a
+        # first-class metric (spmv.cpp:565-1014, timed at :575/:1009).
+        nwin_total = -(-max(ncols, 1) // 1024)
+        segw = min(SEGW, _round_up(nwin_total, 8))
+        n_segs = -(-nwin_total // segw)
+        with pt.phase("stream"):
+            perm, li_flat, w8_arr, seg_blk, T, T_src_p = (
+                _native.stream_build_native(
+                    rmap, sm.cols_plane, S_padded, nwin_total, segw, TB,
+                    force_T,
+                )
+            )
+            _check_T(T)
+        with pt.phase("route_plan"):
+            colors = _native.euler_color_perm_native(perm, T)
+            li_ss, mid_arr, p3_ss = _native.route_planes_fused_native(
+                perm, colors, T, S_padded, li_flat
+            )
+            n_fillers = T * TILE - N_plane
+        with pt.phase("fuse_planes"):
+            mid = middle_planes_from(mid_arr, T)
+        return _pack_routed_tail(
+            sm, pt, force, offs, gstart, gshift, rcp, rmap,
+            nslices, nslices_u, S_padded, w8_arr, li_ss, seg_blk, mid,
+            p3_ss, T, n_segs, segw, n_fillers,
+        )
 
     with pt.phase("expand_tiles"):
         # columns at PADDED plane positions: inserted rows carry col 0 and
@@ -190,16 +269,11 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         T_src_p = int(seg_padded.sum())
 
         T = _round_up(max(T_src_p, S_padded), 1024)
-        if T > 98304:
-            # Tk = T/1024 > 96: the chunk-select kernel's block spans the
-            # full Tk axis and would exceed the 16 MB scoped-VMEM limit
-            # even at its minimum QB = 8 (a depth-3 middle stage would
-            # lift this).  ~100M stored nnz per chip; shard above that.
-            raise ValueError(
-                f"matrix too large for one chip's routed path (T={T}, "
-                "Tk > 96); row-shard it across devices "
-                "(cvr_tpu.parallel.dist)"
-            )
+        if force_T:
+            if force_T < T:
+                raise ValueError(f"force.T {force_T} < required T {T}")
+            T = force_T
+        _check_T(T)
         # source stream arrays, filler slots = -1 (vectorized fill)
         src_pos = np.full(T * TILE, -1, dtype=np.int64)
         li_flat = np.zeros(T * TILE, dtype=np.int16)
@@ -267,11 +341,45 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
 
         mid = middle_planes(plan)
         # stage 3 plane restricted to the real dest tiles (plane rows).
-        S_pad = S_padded
-        p3 = plan.s3[:S_pad].astype(np.int16)
+        p3 = plan.s3[:S_padded].astype(np.int16)
         p3_ss = np.ascontiguousarray(
-            p3.reshape(S_pad, 8, 128).transpose(1, 0, 2)
+            p3.reshape(S_padded, 8, 128).transpose(1, 0, 2)
         )
+
+    return _pack_routed_tail(
+        sm, pt, force, offs, gstart, gshift, rcp, rmap,
+        nslices, nslices_u, S_padded, w8_arr, li_ss, seg_blk, mid, p3_ss,
+        T, n_segs, segw, int((~real).sum()),
+    )
+
+
+def _check_T(T: int) -> None:
+    if T > 98304:
+        # Tk = T/1024 > 96: the chunk-select kernel's block spans the
+        # full Tk axis and would exceed the 16 MB scoped-VMEM limit
+        # even at its minimum QB = 8 (a depth-3 middle stage would
+        # lift this).  ~100M stored nnz per chip; shard above that.
+        raise ValueError(
+            f"matrix too large for one chip's routed path (T={T}, "
+            "Tk > 96); row-shard it across devices "
+            "(cvr_tpu.parallel.dist_routed)"
+        )
+
+
+def _pack_routed_tail(
+    sm, pt, force, offs, gstart, gshift, rcp, rmap, nslices, nslices_u,
+    S_pad, w8_arr, li_ss, seg_blk, mid, p3_ss, T, n_segs, segw, n_fillers,
+) -> SellRouted:
+    """Shared reduce-aux + y-route construction (native and numpy paths)."""
+    from cvr_tpu.ops.pallas_route import YB
+
+    nrows, ncols = sm.shape
+    S = sm.n_slots
+    nrows_out = nrows
+    if force is not None and force.nrows_out is not None:
+        if force.nrows_out < nrows:
+            raise ValueError("force.nrows_out below nrows")
+        nrows_out = force.nrows_out
 
     with pt.phase("reduce_aux"):
         vals = np.zeros((S_pad, TILE), dtype=np.float32)
@@ -293,7 +401,6 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
 
     with pt.phase("y_route"):
         # y_sorted flat position of segment at sorted position g is g.
-        G = nslices * TILE
         seg_row = sm.perm.astype(np.int64)  # sorted pos -> row (or nrows)
         seg_off = sm.seg_offset.astype(np.int64)
         is_first = (seg_off == 0) & (seg_row < nrows)
@@ -301,17 +408,21 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         first_pos[seg_row[is_first]] = np.flatnonzero(is_first)
         if (first_pos < 0).any():
             raise AssertionError("row without a first segment")
-        Ty = _round_up(max(-(-nrows // TILE), nslices), 128)
+        Ty = _round_up(max(-(-nrows_out // TILE), nslices_u), 128)
         ypern = np.empty(Ty * TILE, dtype=np.int64)
         ypern[:nrows] = first_pos
         # trash: all remaining source positions (extra segments, padding
-        # lanes, positions beyond G)
+        # lanes, positions beyond the real slices).  Rows [nrows,
+        # nrows_out) are geometry padding (dist shards): their outputs
+        # are never read back, so trash positions are fine there too.
         used = np.zeros(Ty * TILE, dtype=bool)
         used[first_pos] = True
         ypern[nrows:] = np.flatnonzero(~used)[: Ty * TILE - nrows]
         from cvr_tpu.ops.pallas_route import route_arrays
 
-        y_ra = route_arrays(plan_route(ypern, n=nrows, tile_multiple=1024))
+        y_ra = route_arrays(
+            plan_route(ypern, n=nrows_out, tile_multiple=1024)
+        )
         extra = (~is_first) & (seg_row < nrows)
         extra_pos = np.flatnonzero(extra).astype(np.int64)  # y_sorted flat
         # remap to the padded stream layout (8, Tp, 128): position
@@ -321,6 +432,19 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         i_, l_ = rem // 128, rem % 128
         extra_src = i_ * (yTp * 128) + sig * 128 + l_
         extra_row = seg_row[extra]
+        if force is not None and force.n_extras is not None:
+            if force.n_extras < extra_src.shape[0]:
+                raise ValueError("force.n_extras below natural count")
+            pad = force.n_extras - extra_src.shape[0]
+            if pad:
+                # padding extras read position 0 and add into row
+                # nrows_out (out of bounds -> dropped by mode="drop")
+                extra_src = np.concatenate(
+                    [extra_src, np.zeros(pad, dtype=np.int64)]
+                )
+                extra_row = np.concatenate(
+                    [extra_row, np.full(pad, nrows_out, dtype=np.int64)]
+                )
 
     return SellRouted(
         w8=w8_arr,
@@ -339,10 +463,10 @@ def pack_routed(sm: SellMatrix, ch: int = 128) -> SellRouted:
         T=T,
         S=S,
         S_pad=S_pad,
-        nslices=nslices,
+        nslices=nslices_u,
         segw=segw,
         n_segs=n_segs,
-        n_fillers=int((~real).sum()),
+        n_fillers=n_fillers,
         convert_time=pt.total,
         convert_phases=dict(pt.phases),
     )

@@ -536,6 +536,12 @@ def _reduce_m3_call(
             grid_spec=spec,
             out_shape=jax.ShapeDtypeStruct((8, nslices, 128), jnp.float32),
             interpret=interpret,
+            # the block set sits exactly at the 16 MB default scoped-vmem
+            # limit (observed +4 KiB over on some libtpu builds); give
+            # Mosaic headroom — v5e has far more physical VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024
+            ),
         )(emit, m, m3, vals, p3)
 
     return jax.jit(fn)
@@ -990,14 +996,28 @@ def _to_ss16(a: np.ndarray) -> np.ndarray:
 
 def middle_planes(plan) -> dict:
     """Device-ready middle-stage planes for a RoutePlan (host NumPy)."""
-    from cvr_tpu.ops.route import plan_mid_recursive
+    return middle_planes_from(plan.mid, plan.n_tiles)
 
-    T = plan.n_tiles
+
+def middle_planes_from(mid_arr: np.ndarray, T: int) -> dict:
+    """Middle-stage planes straight from the (1024, T) mid array."""
+    from cvr_tpu.ops.route import mid_recursive_planes
+
     if T % 1024 == 0:
         Tk = T // 1024
         if Tk == 1:
-            return {"kind": "flat", "mid": _to_ss16(plan.mid), "Tk": 1}
-        rec = plan_mid_recursive(plan)
+            return {"kind": "flat", "mid": _to_ss16(mid_arr), "Tk": 1}
+        from cvr_tpu import _native
+
+        if _native.available() and hasattr(_native, "mid_planes_ss_native"):
+            # capacitated per-row colorings + planes emitted straight in
+            # the sublane-split device layout (no numpy relayout pass)
+            mid_c = np.ascontiguousarray(mid_arr, dtype=np.int32)
+            colors = _native.color_rows_cap_native(mid_c, T, Tk)
+            m1, csel, m3 = _native.mid_planes_ss_native(mid_c, T, colors)
+            return {"kind": "rec", "m1": m1, "csel": csel, "m3": m3,
+                    "Tk": Tk}
+        rec = mid_recursive_planes(mid_arr, T)
         return {
             "kind": "rec",
             "m1": _to_ss16(rec["m1"]),
@@ -1015,7 +1035,7 @@ def middle_planes(plan) -> dict:
     Tp = _round_up(T, 128)
     K = Tp // 128
     mid = np.tile(np.arange(Tp, dtype=np.int16), (1024, 1))
-    mid[:, :T] = plan.mid.astype(np.int16)
+    mid[:, :T] = mid_arr.astype(np.int16)
     mid_ss = np.ascontiguousarray(
         mid.reshape(1024, K, 128).transpose(1, 0, 2)
     )

@@ -207,15 +207,18 @@ def plan_route(
         pass
 
     perm32 = full.astype(np.int32)
-    src_tile = perm32 >> 10  # source tile of the element destined to i
-    d_of_edge = np.repeat(np.arange(T, dtype=np.int32), TILE)
-    colors = euler_color(src_tile, d_of_edge, T, TILE)
 
     from cvr_tpu import _native
 
-    if _native.available() and hasattr(_native, "route_planes_native"):
+    if _native.available() and hasattr(_native, "euler_color_perm_native"):
+        # dst(i) = i >> 10 is implicit; no edge arrays materialized.
+        colors = _native.euler_color_perm_native(perm32, T)
         s1, mid, s3 = _native.route_planes_native(perm32, colors, T)
         return RoutePlan(s1=s1, mid=mid, s3=s3, n=n)
+
+    src_tile = perm32 >> 10  # source tile of the element destined to i
+    d_of_edge = np.repeat(np.arange(T, dtype=np.int32), TILE)
+    colors = euler_color(src_tile, d_of_edge, T, TILE)
 
     # stage 1: within source tile a, the element with color q sits at
     # in-tile offset (perm[i] % TILE).  s1[a, q] = that offset.
@@ -268,15 +271,21 @@ def apply_route_numpy(plan: RoutePlan, v: np.ndarray) -> np.ndarray:
 
 
 def plan_mid_recursive(plan: RoutePlan):
-    """Decompose plan.mid into (m1, csel, m3) planes; requires T % 1024 == 0.
+    """Decompose plan.mid into (m1, csel, m3) planes (see
+    mid_recursive_planes)."""
+    return mid_recursive_planes(plan.mid, plan.n_tiles)
+
+
+def mid_recursive_planes(mid_arr, T: int):
+    """Decompose a (1024, T) mid array into (m1, csel, m3) planes;
+    requires T % 1024 == 0.
 
     Returns logical planes, all shaped [Tk*1024, 1024] except csel:
       m1[ca*1024 + q, m]   = within-chunk source offset (a & 1023)
       csel[cd*1024 + q, m] = source chunk ca
       m3[cd*1024 + q, f]   = chunk color m of the element ending at f
     """
-    mid = np.ascontiguousarray(plan.mid, dtype=np.int32)  # [1024, T]
-    T = mid.shape[1]
+    mid = np.ascontiguousarray(mid_arr, dtype=np.int32)  # [1024, T]
     if T % TILE:
         raise ValueError("recursive middle requires T % 1024 == 0")
     Tk = T // TILE
@@ -289,8 +298,10 @@ def plan_mid_recursive(plan: RoutePlan):
         _native, "mid_planes_native"
     )
     if native_ok:
-        src, dst = _native.mid_edges_native(mid, T)
-        colors = _native.euler_color_rows_native(src, dst, TILE, Tk, TILE)
+        # Capacitated coloring on the aggregated Tk x Tk multiplicity
+        # matrix per row: even capacities split arithmetically; only odd
+        # entries walk.  O(entries) per level instead of O(edges).
+        colors = _native.color_rows_cap_native(mid, T, Tk)
         m1, csel, m3 = _native.mid_planes_native(mid, T, colors)
         return {"m1": m1, "csel": csel, "m3": m3, "Tk": Tk}
 

@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <functional>
 #include <string>
 #include <vector>
 
@@ -1010,6 +1011,659 @@ int cvr_bsr_fill(int64_t nrows, int64_t ncb, const int64_t* rowptr,
   return 0;
 }
 
-int cvr_version() { return 8; }
+// ---------------------------------------------------------------------------
+// v9: fast routed-converter path (formats/sell_routed.py).
+//
+// The routed pack's cost used to be numpy argsort + fancy-indexing plus a
+// recursive, allocation-heavy Euler coloring — the pre-processing metric
+// the reference treats as headline (CVR amortizes in ~2 SpMV iterations,
+// paper Table 1; its converter is spmv.cpp:565-1014).  This block makes
+// every O(nnz) pack stage a single native pass:
+//
+//   cvr_stream_count/fill  counting sort of plane elements by 1024-column
+//                          window (within-window order is free — the
+//                          expand kernel only needs window locality), with
+//                          per-segment TB padding and the route perm
+//                          emitted directly;
+//   cvr_euler_color_perm   iterative, allocation-free Euler edge coloring
+//                          (dst tile of edge i is i>>10, so only the src
+//                          side is stored; ping-pong partition buffers);
+//   cvr_route_planes_fused stage planes emitted straight in the
+//                          sublane-split device layout with the stage-1
+//                          composition (li gather) fused into the pass;
+//   cvr_color_rows_cap     per-row mid colorings on the AGGREGATED Tk x Tk
+//                          multiplicity matrix (capacitated Euler: even
+//                          capacities split arithmetically, only odd
+//                          entries walk) — O(entries) per level instead of
+//                          O(edges).
+// ---------------------------------------------------------------------------
+
+// Pass 1: per-window element counts + padded tile accounting.
+// Returns T_src_p (tiles incl. per-segment TB padding), fills wcnt.
+int64_t cvr_stream_count(int64_t S, int64_t S_padded, const int64_t* rmap,
+                         const int32_t* cols_plane, int64_t nwin_total,
+                         int64_t segw, int64_t TB, int64_t* wcnt) {
+  for (int64_t w = 0; w < nwin_total; w++) wcnt[w] = 0;
+  wcnt[0] += 1024 * (S_padded - S);  // inserted zero rows carry col 0
+  const int64_t n = S * 1024;
+  for (int64_t i = 0; i < n; i++) wcnt[cols_plane[i] >> 10]++;
+  const int64_t n_segs = (nwin_total + segw - 1) / segw;
+  int64_t T_src_p = 0;
+  for (int64_t s = 0; s < n_segs; s++) {
+    int64_t tiles = 0;
+    int64_t w1 = std::min(nwin_total, (s + 1) * segw);
+    for (int64_t w = s * segw; w < w1; w++)
+      tiles += (wcnt[w] + 1023) >> 10;
+    T_src_p += ((tiles + TB - 1) / TB) * TB;
+  }
+  return T_src_p;
+}
+
+// Pass 2: stream arrays + the route permutation.
+// perm[plane_pos] = stream position (dest -> source, plan_route form).
+int cvr_stream_fill(int64_t S, int64_t S_padded, const int64_t* rmap,
+                    const int32_t* cols_plane, int64_t nwin_total,
+                    int64_t segw, int64_t TB, const int64_t* wcnt,
+                    int64_t T, int32_t* perm, int16_t* li_flat,
+                    int32_t* w8, int32_t* seg_blk) {
+  const int64_t n_segs = (nwin_total + segw - 1) / segw;
+  const int64_t NT = T * 1024;
+  const int64_t N_plane = S_padded * 1024;
+  // window -> first (padded) tile index; segment block map
+  std::vector<int64_t> wtile((size_t)nwin_total + 1);
+  {
+    int64_t t = 0;
+    for (int64_t s = 0; s < n_segs; s++) {
+      int64_t t0 = t;
+      int64_t w1 = std::min(nwin_total, (s + 1) * segw);
+      for (int64_t w = s * segw; w < w1; w++) {
+        wtile[(size_t)w] = t;
+        t += (wcnt[w] + 1023) >> 10;
+      }
+      int64_t tp = t0 + ((t - t0 + TB - 1) / TB) * TB;  // segment pad
+      for (int64_t b = t0 / TB; b < tp / TB; b++)
+        seg_blk[b] = (int32_t)s;
+      t = tp;
+    }
+    wtile[(size_t)nwin_total] = t;
+    if (t > T) return fail("stream_fill: T too small");
+    for (int64_t b = t / TB; b < T / TB; b++) seg_blk[b] = 0;
+  }
+  for (int64_t t = 0; t < T; t++) w8[t] = 0;
+  for (int64_t w = 0; w < nwin_total; w++) {
+    if (wcnt[w] == 0) continue;
+    int64_t t1 = wtile[(size_t)w] + ((wcnt[w] + 1023) >> 10);
+    int32_t rel = (int32_t)(w % segw);
+    for (int64_t t = wtile[(size_t)w]; t < t1; t++) w8[t] = rel;
+  }
+  // stream fill: src_pos[stream] = plane position (or -1).  li defaults
+  // to 0 (covers segment-pad tiles and the global tail).
+  std::memset(li_flat, 0, (size_t)NT * sizeof(int16_t));
+  std::vector<int32_t> src_pos((size_t)NT, -1);
+  std::vector<int64_t> cursor((size_t)nwin_total);
+  for (int64_t w = 0; w < nwin_total; w++)
+    cursor[(size_t)w] = wtile[(size_t)w] * 1024;
+  std::vector<uint8_t> covered((size_t)S_padded, 0);
+  for (int64_t s = 0; s < S; s++) {
+    covered[(size_t)rmap[s]] = 1;
+    const int32_t* row = cols_plane + s * 1024;
+    const int64_t base = rmap[s] * 1024;
+    for (int64_t j = 0; j < 1024; j++) {
+      int32_t c = row[j];
+      int64_t w = c >> 10;
+      int64_t pos = cursor[(size_t)w]++;
+      src_pos[(size_t)pos] = (int32_t)(base + j);
+      li_flat[pos] = (int16_t)(c & 1023);
+    }
+  }
+  for (int64_t r = 0; r < S_padded; r++) {
+    if (covered[(size_t)r]) continue;
+    const int64_t base = r * 1024;
+    for (int64_t j = 0; j < 1024; j++) {
+      int64_t pos = cursor[0]++;
+      src_pos[(size_t)pos] = (int32_t)(base + j);
+      li_flat[pos] = 0;
+    }
+  }
+  // fillers: pad each window's last tile with its last real offset
+  for (int64_t w = 0; w < nwin_total; w++) {
+    if (wcnt[w] == 0) continue;
+    int64_t end = cursor[(size_t)w];
+    int64_t tile_end = (wtile[(size_t)w] + ((wcnt[w] + 1023) >> 10)) * 1024;
+    int16_t last = li_flat[end - 1];
+    for (int64_t pos = end; pos < tile_end; pos++) li_flat[pos] = last;
+  }
+  // perm: dest plane position -> stream position; trash fills the tail
+  int64_t jtrash = N_plane;
+  for (int64_t pos = 0; pos < NT; pos++) {
+    int32_t p = src_pos[(size_t)pos];
+    if (p >= 0)
+      perm[p] = (int32_t)pos;
+    else
+      perm[jtrash++] = (int32_t)pos;
+  }
+  if (jtrash != NT) return fail("stream_fill: trash count mismatch");
+  return 0;
+}
+
+// Iterative Euler edge coloring where dst(edge e) = orig_id(e) >> 10.
+// Stores only (usrc, gid) per edge; partition ping-pongs through scratch.
+//
+// Leader finding is single-chase: during the (interleaved, prefetched)
+// ruler chase every edge records its ruler SEGMENT id; segments are
+// stitched into cycles over the tiny ruler table and the side test reads
+// leaders through that table — no second chase and no materialized
+// next2 array (the double-step successor pu[pv[e]] is gathered lazily).
+static void euler_iter_perm(int64_t m, int32_t* usrc, int32_t* gid,
+                            int64_t n_tiles, int32_t k, int32_t* color) {
+  std::vector<int32_t> usrc2((size_t)m), gid2((size_t)m);
+  std::vector<int32_t> pu((size_t)m), pv((size_t)m), seg_of((size_t)m);
+  const int64_t nv = 2 * n_tiles;
+  std::vector<int32_t> pend((size_t)nv, -1);
+  std::vector<int32_t> pend_ep((size_t)nv, -1);
+  std::vector<int32_t> ruler_leader;
+  std::vector<int32_t> succ_ruler;
+  int32_t epoch = 0;
+  struct Seg {
+    int64_t start, end;
+    int32_t k, base;
+  };
+  std::vector<Seg> stack;
+  stack.push_back({0, m, k, 0});
+  bool top_level = true;
+  while (!stack.empty()) {
+    Seg sg = stack.back();
+    stack.pop_back();
+    const int64_t s0 = sg.start, s1 = sg.end, ms = s1 - s0;
+    if (sg.k == 1) {
+      for (int64_t e = s0; e < s1; e++) color[gid[(size_t)e]] = sg.base;
+      continue;
+    }
+    // pairing via pending pointers (epoch-stamped).  At the top level
+    // gid is the identity, so the dst-side pairing is simply e ^ 1.
+    epoch++;
+    if (top_level) {
+      for (int64_t e = s0; e < s1; e++) pv[(size_t)e] = (int32_t)(e ^ 1);
+      for (int64_t e = s0; e < s1; e++) {
+        int32_t u = usrc[(size_t)e];
+        if (pend_ep[(size_t)u] != epoch) {
+          pend_ep[(size_t)u] = epoch;
+          pend[(size_t)u] = (int32_t)e;
+        } else if (pend[(size_t)u] < 0) {
+          pend[(size_t)u] = (int32_t)e;
+        } else {
+          int32_t o = pend[(size_t)u];
+          pu[(size_t)e] = o;
+          pu[(size_t)o] = (int32_t)e;
+          pend[(size_t)u] = -1;
+        }
+      }
+      top_level = false;
+    } else {
+      for (int64_t e = s0; e < s1; e++) {
+        int32_t u = usrc[(size_t)e];
+        if (pend_ep[(size_t)u] != epoch) {
+          pend_ep[(size_t)u] = epoch;
+          pend[(size_t)u] = (int32_t)e;
+        } else if (pend[(size_t)u] < 0) {
+          pend[(size_t)u] = (int32_t)e;
+        } else {
+          int32_t o = pend[(size_t)u];
+          pu[(size_t)e] = o;
+          pu[(size_t)o] = (int32_t)e;
+          pend[(size_t)u] = -1;
+        }
+        int32_t v = (int32_t)(n_tiles + (gid[(size_t)e] >> 10));
+        if (pend_ep[(size_t)v] != epoch) {
+          pend_ep[(size_t)v] = epoch;
+          pend[(size_t)v] = (int32_t)e;
+        } else if (pend[(size_t)v] < 0) {
+          pend[(size_t)v] = (int32_t)e;
+        } else {
+          int32_t o = pend[(size_t)v];
+          pv[(size_t)e] = o;
+          pv[(size_t)o] = (int32_t)e;
+          pend[(size_t)v] = -1;
+        }
+      }
+    }
+    // single chase: every edge records its ruler segment id
+    const int64_t R = 256;
+    const int W = 32;
+    auto next2 = [&](int32_t e) { return pu[(size_t)pv[(size_t)e]]; };
+    if (ms >= (int64_t)1 << 15) {
+      const int64_t n_rulers = (ms + R - 1) / R;
+      succ_ruler.assign((size_t)n_rulers, -1);
+      for (int64_t e = s0; e < s1; e++) seg_of[(size_t)e] = -1;
+      {
+        struct Cur {
+          int64_t ruler;
+          int32_t e;
+        };
+        std::vector<Cur> cs;
+        cs.reserve(W);
+        int64_t next_start = 0;
+        auto refill = [&]() {
+          while ((int64_t)cs.size() < W && next_start < n_rulers) {
+            int64_t r = next_start++;
+            seg_of[(size_t)(s0 + r * R)] = (int32_t)r;
+            cs.push_back({r, next2((int32_t)(s0 + r * R))});
+          }
+        };
+        refill();
+        while (!cs.empty()) {
+          for (size_t c = 0; c < cs.size();) {
+            int32_t e = cs[c].e;
+            if (((e - s0) % R) == 0) {  // reached the next ruler
+              succ_ruler[(size_t)cs[c].ruler] = (int32_t)((e - s0) / R);
+              cs[c] = cs.back();
+              cs.pop_back();
+              continue;
+            }
+            seg_of[(size_t)e] = (int32_t)cs[c].ruler;
+            int32_t nx0 = pv[(size_t)e];
+            __builtin_prefetch(&pu[(size_t)nx0]);
+            int32_t nx = pu[(size_t)nx0];
+            __builtin_prefetch(&pv[(size_t)nx]);
+            cs[c].e = nx;
+            c++;
+          }
+          refill();
+        }
+      }
+      // stitch ruler segments into cycles (tiny, cache-resident)
+      ruler_leader.assign((size_t)n_rulers, -1);
+      {
+        std::vector<int32_t> path;
+        for (int64_t r = 0; r < n_rulers; r++) {
+          if (ruler_leader[(size_t)r] != -1) continue;
+          path.clear();
+          int32_t lead = (int32_t)(s0 + r * R);
+          int64_t x = r;
+          while (ruler_leader[(size_t)x] == -1) {
+            ruler_leader[(size_t)x] = -2;
+            path.push_back((int32_t)x);
+            x = succ_ruler[(size_t)x];
+            if (ruler_leader[(size_t)x] == -1 &&
+                (int32_t)(s0 + x * R) < lead)
+              lead = (int32_t)(s0 + x * R);
+          }
+          int32_t fl =
+              ruler_leader[(size_t)x] >= 0 ? ruler_leader[(size_t)x] : lead;
+          for (int32_t pr : path) ruler_leader[(size_t)pr] = fl;
+        }
+      }
+      // leftover cycles containing no ruler: sequential sweep with
+      // pseudo-ruler ids appended to the leader table
+      for (int64_t e = s0; e < s1; e++) {
+        if (seg_of[(size_t)e] >= 0) continue;
+        int32_t rid = (int32_t)ruler_leader.size();
+        ruler_leader.push_back((int32_t)e);
+        int32_t x = (int32_t)e;
+        while (seg_of[(size_t)x] < 0) {
+          seg_of[(size_t)x] = rid;
+          x = next2(x);
+        }
+      }
+    } else {
+      // small segment: direct sweep, one pseudo-ruler per cycle
+      ruler_leader.clear();
+      for (int64_t e = s0; e < s1; e++) seg_of[(size_t)e] = -1;
+      for (int64_t e = s0; e < s1; e++) {
+        if (seg_of[(size_t)e] >= 0) continue;
+        int32_t rid = (int32_t)ruler_leader.size();
+        ruler_leader.push_back((int32_t)e);
+        int32_t x = (int32_t)e;
+        while (seg_of[(size_t)x] < 0) {
+          seg_of[(size_t)x] = rid;
+          x = next2(x);
+        }
+      }
+    }
+    // fused side + stable partition (two-pointer into scratch)
+    int64_t na = 0;
+    {
+      const int64_t PF = 16;
+      for (int64_t e = s0; e < s1; e++) {
+        if (e + PF < s1)
+          __builtin_prefetch(&seg_of[(size_t)pv[(size_t)(e + PF)]]);
+        na += ruler_leader[(size_t)seg_of[(size_t)e]] <=
+              ruler_leader[(size_t)seg_of[(size_t)pv[(size_t)e]]];
+      }
+      int64_t ia = s0, ib = s0 + na;
+      for (int64_t e = s0; e < s1; e++) {
+        int32_t la = ruler_leader[(size_t)seg_of[(size_t)e]];
+        int32_t lb = ruler_leader[(size_t)seg_of[(size_t)pv[(size_t)e]]];
+        int64_t d = (la > lb) ? ib++ : ia++;
+        usrc2[(size_t)d] = usrc[(size_t)e];
+        gid2[(size_t)d] = gid[(size_t)e];
+      }
+    }
+    std::memcpy(usrc + s0, usrc2.data() + s0, (size_t)ms * 4);
+    std::memcpy(gid + s0, gid2.data() + s0, (size_t)ms * 4);
+    stack.push_back({s0 + na, s1, sg.k / 2, (int32_t)(sg.base + sg.k / 2)});
+    stack.push_back({s0, s0 + na, sg.k / 2, sg.base});
+  }
+}
+
+int cvr_euler_color_perm(int64_t n, const int32_t* perm, int64_t T,
+                         int32_t* color) {
+  if (n != T * 1024) return fail("perm length must be T*1024");
+  std::vector<int32_t> usrc((size_t)n), gid((size_t)n);
+  for (int64_t i = 0; i < n; i++) {
+    usrc[(size_t)i] = perm[i] >> 10;
+    gid[(size_t)i] = (int32_t)i;
+  }
+  euler_iter_perm(n, usrc.data(), gid.data(), T, 1024, color);
+  return 0;
+}
+
+// Route planes with stage-1 composition fused, emitted in sublane-split
+// device layout: li_ss/p3_ss are (8, rows, 128) with element (tile, pos)
+// at [pos>>7, tile, pos&127].
+int cvr_route_planes_fused(int64_t n, const int32_t* perm,
+                           const int32_t* colors, int64_t T, int64_t S_pad,
+                           const int16_t* li_flat, int16_t* li_ss,
+                           int32_t* mid, int16_t* p3_ss) {
+  if (n != T * 1024) return fail("perm length must be T*1024");
+  for (int64_t i = 0; i < n; i++) {
+    int32_t p = perm[i];
+    int32_t q = colors[i];
+    int64_t a = (int64_t)(p >> 10);
+    int64_t d = i >> 10;
+    li_ss[((int64_t)(q >> 7) * T + a) * 128 + (q & 127)] = li_flat[p];
+    mid[(int64_t)q * T + d] = (int32_t)a;
+    if (d < S_pad) {
+      int64_t o = i & 1023;
+      p3_ss[((o >> 7) * S_pad + d) * 128 + (o & 127)] = (int16_t)q;
+    }
+  }
+  return 0;
+}
+
+// Birkhoff-von-Neumann per-row colorings for small Tk: decompose the
+// doubly-k-regular Tk x Tk multiplicity matrix into weighted perfect
+// matchings (Kuhn augmenting paths, incremental re-match after an entry
+// empties).  #matchings <= #nonzero entries; each extraction assigns a
+// RANGE of colors at once — far below the capacitated-Euler node count.
+static int bvn_color_row(int64_t T, int64_t tk, const int32_t* mrow,
+                         int32_t* crow, std::vector<int32_t>& cap,
+                         std::vector<int64_t>& off,
+                         std::vector<int32_t>& cur,
+                         std::vector<int32_t>& colors_of_pair) {
+  const int64_t np = tk * tk;
+  std::fill(cap.begin(), cap.end(), 0);
+  for (int64_t d = 0; d < T; d++)
+    cap[(size_t)((mrow[d] >> 10) * tk + (d >> 10))]++;
+  off[0] = 0;
+  for (int64_t p = 0; p < np; p++)
+    off[(size_t)p + 1] = off[(size_t)p] + cap[(size_t)p];
+  colors_of_pair.resize((size_t)off[(size_t)np]);
+  std::fill(cur.begin(), cur.end(), 0);
+
+  std::vector<int32_t> match_u((size_t)tk, -1), match_v((size_t)tk, -1);
+  std::vector<uint8_t> vis((size_t)tk);
+  // Kuhn augment for one left vertex over entries with cap > 0
+  std::function<bool(int32_t)> tryk = [&](int32_t u) -> bool {
+    for (int32_t v = 0; v < (int32_t)tk; v++) {
+      if (cap[(size_t)(u * tk + v)] <= 0 || vis[(size_t)v]) continue;
+      vis[(size_t)v] = 1;
+      if (match_v[(size_t)v] < 0 || tryk(match_v[(size_t)v])) {
+        match_u[(size_t)u] = v;
+        match_v[(size_t)v] = u;
+        return true;
+      }
+    }
+    return false;
+  };
+  for (int32_t u = 0; u < (int32_t)tk; u++) {
+    std::fill(vis.begin(), vis.end(), 0);
+    if (!tryk(u)) return fail("bvn: no perfect matching (not regular?)");
+  }
+  int64_t remaining = 1024;
+  int32_t base = 0;
+  while (remaining > 0) {
+    int32_t mu = INT32_MAX;
+    for (int32_t u = 0; u < (int32_t)tk; u++)
+      mu = std::min(mu, cap[(size_t)(u * tk + match_u[(size_t)u])]);
+    if (mu <= 0) return fail("bvn: zero matching weight");
+    if (mu > remaining) mu = (int32_t)remaining;
+    for (int32_t u = 0; u < (int32_t)tk; u++) {
+      int64_t p = u * tk + match_u[(size_t)u];
+      int64_t at = off[(size_t)p] + cur[(size_t)p];
+      for (int32_t c = 0; c < mu; c++)
+        colors_of_pair[(size_t)(at + c)] = base + c;
+      cur[(size_t)p] += mu;
+      cap[(size_t)p] -= mu;
+    }
+    base += mu;
+    remaining -= mu;
+    if (remaining == 0) break;
+    // re-augment the vertices whose matched entry emptied
+    for (int32_t u = 0; u < (int32_t)tk; u++) {
+      if (cap[(size_t)(u * tk + match_u[(size_t)u])] > 0) continue;
+      match_v[(size_t)match_u[(size_t)u]] = -1;
+      match_u[(size_t)u] = -1;
+      std::fill(vis.begin(), vis.end(), 0);
+      if (!tryk(u)) return fail("bvn: re-augment failed");
+    }
+  }
+  std::fill(cur.begin(), cur.end(), 0);
+  for (int64_t d = 0; d < T; d++) {
+    int64_t p = (mrow[d] >> 10) * tk + (d >> 10);
+    crow[d] = colors_of_pair[(size_t)(off[(size_t)p] + cur[(size_t)p]++)];
+  }
+  return 0;
+}
+
+// Capacitated per-row colorings for the recursive middle stage.
+// mid is (1024, T) int32; for row q, edge d has src chunk mid[q,T]>>10 and
+// dst chunk d>>10.  Aggregate into a tk x tk capacity matrix, split
+// capacities recursively (even part arithmetic, odd entries via an Euler
+// walk on the entry multigraph), and expand leaf matchings back to edges.
+int cvr_color_rows_cap(int64_t T, int64_t tk, const int32_t* mid,
+                       int32_t* color_out) {
+  const int64_t np = tk * tk;
+  if (tk <= 24) {
+    // BvN wins while #entries (<= tk^2) x augment cost stays small
+    std::vector<int32_t> cap((size_t)np), cur((size_t)np);
+    std::vector<int64_t> off((size_t)np + 1);
+    std::vector<int32_t> colors_of_pair;
+    for (int64_t q = 0; q < 1024; q++) {
+      if (bvn_color_row(T, tk, mid + q * T, color_out + q * T, cap, off,
+                        cur, colors_of_pair) != 0)
+        return -1;
+    }
+    return 0;
+  }
+  struct Node {
+    int64_t start, end;  // into entry pool
+    int32_t k, base;
+  };
+  // entry pool: (pair, cap) per entry; children written past the parent
+  // slice, so the pool only grows monotonically within a node
+  std::vector<int32_t> pool_pair, pool_cap;
+  std::vector<int32_t> cap0((size_t)np);
+  std::vector<int64_t> off((size_t)np + 1);
+  std::vector<int32_t> cur((size_t)np);
+  std::vector<int32_t> colors_of_pair;
+  // odd-walk scratch (vertices = 2*tk), all hoisted out of the node loop
+  const int64_t nv = 2 * tk;
+  std::vector<int32_t> odeg((size_t)nv), optr((size_t)nv);
+  std::vector<int64_t> ooff((size_t)nv + 1);
+  std::vector<int32_t> oadj_e, oid;
+  std::vector<uint8_t> used, ou;
+  std::vector<Node> stack;
+  // pair -> endpoint lookup (kills the runtime divisions in hot loops)
+  std::vector<int32_t> ca_of((size_t)np), cd_of((size_t)np);
+  for (int64_t p = 0; p < np; p++) {
+    ca_of[(size_t)p] = (int32_t)(p / tk);
+    cd_of[(size_t)p] = (int32_t)(tk + p % tk);
+  }
+  for (int64_t q = 0; q < 1024; q++) {
+    const int32_t* mrow = mid + q * T;
+    int32_t* crow = color_out + q * T;
+    std::fill(cap0.begin(), cap0.end(), 0);
+    for (int64_t d = 0; d < T; d++)
+      cap0[(size_t)((mrow[d] >> 10) * tk + (d >> 10))]++;
+    off[0] = 0;
+    for (int64_t p = 0; p < np; p++)
+      off[(size_t)p + 1] = off[(size_t)p] + cap0[(size_t)p];
+    colors_of_pair.resize((size_t)off[(size_t)np]);
+    std::fill(cur.begin(), cur.end(), 0);
+    pool_pair.clear();
+    pool_cap.clear();
+    for (int64_t p = 0; p < np; p++) {
+      if (cap0[(size_t)p]) {
+        pool_pair.push_back((int32_t)p);
+        pool_cap.push_back(cap0[(size_t)p]);
+      }
+    }
+    stack.clear();
+    stack.push_back({0, (int64_t)pool_pair.size(), 1024, 0});
+    while (!stack.empty()) {
+      Node nd = stack.back();
+      stack.pop_back();
+      if (nd.k == 1) {
+        for (int64_t e = nd.start; e < nd.end; e++) {
+          int32_t p = pool_pair[(size_t)e];
+          colors_of_pair[(size_t)(off[(size_t)p] + cur[(size_t)p]++)] =
+              nd.base;
+        }
+        continue;
+      }
+      // tag odd entries with their walk side (1 = A, 2 = B)
+      std::fill(odeg.begin(), odeg.end(), 0);
+      int64_t nodd = 0, nhalf = 0;
+      for (int64_t e = nd.start; e < nd.end; e++) {
+        if (pool_cap[(size_t)e] >> 1) nhalf++;
+        if (pool_cap[(size_t)e] & 1) {
+          int32_t p = pool_pair[(size_t)e];
+          odeg[(size_t)ca_of[(size_t)p]]++;
+          odeg[(size_t)cd_of[(size_t)p]]++;
+          nodd++;
+        }
+      }
+      used.assign((size_t)(nd.end - nd.start), 0);
+      int64_t na_odd = 0;
+      if (nodd) {
+        ooff[0] = 0;
+        for (int64_t v = 0; v < nv; v++)
+          ooff[(size_t)v + 1] = ooff[(size_t)v] + odeg[(size_t)v];
+        if ((int64_t)oadj_e.size() < 2 * nodd)
+          oadj_e.resize((size_t)(2 * nodd));
+        std::copy(ooff.begin(), ooff.end() - 1, optr.begin());
+        oid.clear();
+        for (int64_t e = nd.start; e < nd.end; e++) {
+          if (pool_cap[(size_t)e] & 1) {
+            int32_t p = pool_pair[(size_t)e];
+            int32_t lid = (int32_t)oid.size();
+            oid.push_back((int32_t)e);
+            oadj_e[(size_t)optr[(size_t)ca_of[(size_t)p]]++] = lid;
+            oadj_e[(size_t)optr[(size_t)cd_of[(size_t)p]]++] = lid;
+          }
+        }
+        std::copy(ooff.begin(), ooff.end() - 1, optr.begin());
+        ou.assign((size_t)nodd, 0);
+        for (int64_t st = 0; st < nodd; st++) {
+          if (ou[(size_t)st]) continue;
+          int64_t lid = st;
+          int64_t vert = ca_of[(size_t)pool_pair[(size_t)oid[(size_t)lid]]];
+          for (;;) {
+            ou[(size_t)lid] = 1;
+            bool from_u = vert < tk;
+            int32_t e = oid[(size_t)lid];
+            if (from_u) {
+              used[(size_t)(e - nd.start)] = 1;
+              na_odd++;
+            } else {
+              used[(size_t)(e - nd.start)] = 2;
+            }
+            int32_t p = pool_pair[(size_t)e];
+            vert = from_u ? cd_of[(size_t)p] : ca_of[(size_t)p];
+            int64_t pp = optr[(size_t)vert];
+            int64_t end = ooff[(size_t)vert + 1];
+            int64_t nxt = -1;
+            while (pp < end) {
+              int32_t cand = oadj_e[(size_t)pp];
+              if (!ou[(size_t)cand]) {
+                nxt = cand;
+                break;
+              }
+              pp++;
+            }
+            optr[(size_t)vert] = pp;
+            if (nxt < 0) break;
+            lid = nxt;
+          }
+        }
+      }
+      // children written directly past the parent slice: A then B,
+      // each = arithmetic halves + that side's odd singles
+      const int64_t a0 = (int64_t)pool_pair.size();
+      const int64_t asz = nhalf + na_odd;
+      const int64_t bsz = nhalf + (nodd - na_odd);
+      pool_pair.resize((size_t)(a0 + asz + bsz));
+      pool_cap.resize((size_t)(a0 + asz + bsz));
+      int64_t ia = a0, ib = a0 + asz;
+      for (int64_t e = nd.start; e < nd.end; e++) {
+        int32_t p = pool_pair[(size_t)e];
+        int32_t h = pool_cap[(size_t)e] >> 1;
+        if (h) {
+          pool_pair[(size_t)ia] = p;
+          pool_cap[(size_t)ia++] = h;
+          pool_pair[(size_t)ib] = p;
+          pool_cap[(size_t)ib++] = h;
+        }
+        uint8_t tag = used[(size_t)(e - nd.start)];
+        if (tag == 1) {
+          pool_pair[(size_t)ia] = p;
+          pool_cap[(size_t)ia++] = 1;
+        } else if (tag == 2) {
+          pool_pair[(size_t)ib] = p;
+          pool_cap[(size_t)ib++] = 1;
+        }
+      }
+      stack.push_back({a0 + asz, a0 + asz + bsz, nd.k / 2,
+                       (int32_t)(nd.base + nd.k / 2)});
+      stack.push_back({a0, a0 + asz, nd.k / 2, nd.base});
+    }
+    // expand to per-edge colors in d order
+    std::fill(cur.begin(), cur.end(), 0);
+    for (int64_t d = 0; d < T; d++) {
+      int32_t p = (int32_t)((mrow[d] >> 10) * tk + (d >> 10));
+      crow[d] = colors_of_pair[(size_t)(off[(size_t)p] + cur[(size_t)p]++)];
+    }
+  }
+  return 0;
+}
+
+// Recursive-middle planes emitted straight in the sublane-split device
+// layout: each plane is (8, Tk*1024, 128) with logical element
+// (tile t, pos o) at [o >> 7, t, o & 127].
+int cvr_mid_planes_ss(int64_t T, const int32_t* mid,
+                      const int32_t* colors_rows, int16_t* m1,
+                      int16_t* csel, int16_t* m3) {
+  const int64_t R = T;  // rows per sublane plane slab (Tk*1024 == T)
+  for (int64_t q = 0; q < 1024; q++) {
+    const int32_t* mrow = mid + q * T;
+    const int32_t* crow = colors_rows + q * T;
+    for (int64_t d = 0; d < T; d++) {
+      int64_t a = (int64_t)mrow[d];
+      int64_t m = crow[d];
+      int64_t ca = a >> 10;
+      int64_t cd = d >> 10;
+      int64_t t1 = ca * 1024 + q;  // m1 tile
+      int64_t t2 = cd * 1024 + q;  // csel/m3 tile
+      m1[((m >> 7) * R + t1) * 128 + (m & 127)] = (int16_t)(a & 1023);
+      csel[((m >> 7) * R + t2) * 128 + (m & 127)] = (int16_t)ca;
+      int64_t f = d & 1023;
+      m3[((f >> 7) * R + t2) * 128 + (f & 127)] = (int16_t)m;
+    }
+  }
+  return 0;
+}
+
+int cvr_version() { return 10; }
 
 }  // extern "C"
