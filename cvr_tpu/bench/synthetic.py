@@ -120,6 +120,37 @@ def citation_like(seed: int = 13) -> COOMatrix:
     )
 
 
+def fsm_like(
+    n: int = 1 << 21, deg: int = 8, hub_states: int = 1024,
+    reach: int = 64, p_fail: float = 0.55, seed: int = 19,
+) -> COOMatrix:
+    """Stand-in for the FSM domain (CGO'18 Table 2/3: automata transition
+    matrices from pattern-matching FSMs; reference CVR avg 8.09 GFLOPS).
+
+    Structural fingerprint of an Aho-Corasick-style automaton: near-
+    constant row out-degree (the stored alphabet transitions), columns
+    split between FORWARD trie edges (state + small offset — spatial
+    locality) and FAILURE links back to a tiny set of shallow states near
+    the root (extreme column reuse).  p_fail of the transitions land on a
+    geometric distribution over the first ``hub_states`` columns."""
+    rng = np.random.default_rng(seed)
+    nnz = n * deg
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    fail = rng.random(nnz) < p_fail
+    # failure links: geometric over the shallow states (clipped)
+    g = rng.geometric(p=8.0 / hub_states, size=nnz).astype(np.int64)
+    hub = np.minimum(g - 1, hub_states - 1)
+    fwd = rows + rng.integers(1, reach + 1, size=nnz)
+    cols = np.where(fail, hub, np.minimum(fwd, n - 1))
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    return COOMatrix(
+        rows=rows.astype(np.int32),
+        cols=cols.astype(np.int32),
+        vals=vals,
+        shape=(n, n),
+    ).sum_duplicates()
+
+
 def road_usa_like(
     n: int = 1 << 23, deg: float = 2.5, reach: int = 64, seed: int = 17
 ) -> COOMatrix:

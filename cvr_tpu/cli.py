@@ -62,7 +62,6 @@ def cmd_spmv(args) -> int:
         "window": "sell-window",
         "sell-window": "sell-window",
         "sell": "sell-xla",
-        "sell-pallas": "sell-pallas",
         "csr": "csr",
     }[args.format]
     r = run_spmv_benchmark(
@@ -176,7 +175,7 @@ def _spmv_prepacked(args, coo) -> int:
         ok, nbad, mx = verify(
             y,
             spmv_golden_numpy(csr, x),
-            rtol=1e-4,
+            rtol=1e-6,
             row_scale=spmv_row_scale(csr, x),
         )
         print(
@@ -263,12 +262,27 @@ def _spmm(args, coo) -> int:
 
 
 def cmd_compare(args) -> int:
-    """Run all implementations on one matrix (run_comparison.sh analogue)."""
+    """Run EVERY implementation on one matrix in one table — the
+    run_comparison.sh analogue (reference runs 6 solutions per matrix,
+    run_comparison.sh:20-45).  With --rhs K > 1 the SpMM formats (bsr /
+    routed / window / sell) are compared instead."""
+    coo = _load(args.matrix, args.pattern_values)
+
+    if args.rhs > 1:
+        import argparse as _ap
+
+        for fmt in ("bsr", "routed", "window", "sell"):
+            sub = _ap.Namespace(**{**vars(args), "format": fmt})
+            try:
+                _spmm(sub, coo)
+            except Exception as e:  # noqa: BLE001 — keep comparing
+                print(f"[{fmt}] failed: {type(e).__name__}: {e}")
+        return 0
+
     from cvr_tpu.bench.harness import run_spmv_benchmark
 
-    coo = _load(args.matrix, args.pattern_values)
     results = []
-    for impl in ("csr", "sell-xla", "auto"):
+    for impl in ("csr", "sell-xla", "sell-routed", "sell-window"):
         try:
             r = run_spmv_benchmark(
                 coo, name=args.matrix, impl=impl, iters=args.iters
@@ -329,7 +343,7 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
         choices=[
             "auto", "bsr", "routed", "sell-routed", "window",
-            "sell-window", "sell", "sell-pallas", "csr",
+            "sell-window", "sell", "csr",
         ],
     )
     p.add_argument("--rhs", type=int, default=1, help="K for SpMM")
@@ -342,6 +356,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("compare", help="all impls on one matrix")
     common(p)
+    p.add_argument(
+        "--rhs", type=int, default=1,
+        help="K > 1 compares the SpMM formats instead",
+    )
+    p.add_argument("--c", type=int, default=None)
+    p.add_argument("--sigma", type=int, default=0)
+    p.add_argument("--no-verify", action="store_true")
     p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser("info", help="matrix + packing statistics")

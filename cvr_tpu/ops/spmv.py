@@ -13,7 +13,6 @@ record/steal machinery (ref: spmv.cpp:808-1000) is already in the data
 layout, so no scalar drains, atomics (ref: spmv.cpp:1280-1282) or
 calibrator passes (csr5_spmv_avx512.h:291-308) exist at compute time.
 
-A Pallas kernel for the same layout lives in cvr_tpu.ops.pallas_spmv; the
 ``spmv``/``spmm`` dispatchers pick the best available implementation.
 """
 
@@ -154,13 +153,12 @@ def spmv(A, x, impl: str = "auto"):
     """y = A @ x.  A may be a SellRouted / SellMatrix / SellDevice /
     CSRMatrix.
 
-    impl: "auto" | "xla" | "pallas" | "routed".  The routed path (Pallas
-    kernels + compiled gather route, cvr_tpu.ops.spmv_routed) is used
-    automatically for SellRouted inputs.
+    impl: "auto" | "xla".  The routed path (Pallas kernels + compiled
+    gather route, cvr_tpu.ops.spmv_routed) is used automatically for
+    SellRouted inputs; the fused window kernel for SellWindow.
     """
     from cvr_tpu.formats.sell_routed import SellRouted
     from cvr_tpu.formats.sell_window import SellWindow
-    from cvr_tpu.ops import pallas_spmv
     from cvr_tpu.ops.spmv_routed import (
         SellRoutedDevice,
         _jitted_spmv_routed,
@@ -184,10 +182,6 @@ def spmv(A, x, impl: str = "auto"):
         A = to_device(A)
     x = jnp.asarray(x)
     if isinstance(A, SellDevice):
-        if impl == "pallas" or (
-            impl == "auto" and pallas_spmv.is_supported(A, x)
-        ):
-            return pallas_spmv.sell_spmv_pallas(A, x)
         return _jitted_sell_spmv()(A, x)
     if isinstance(A, CSRMatrix):
         from cvr_tpu.ops.spmv_ref import spmv_csr_jnp

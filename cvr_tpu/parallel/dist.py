@@ -211,12 +211,22 @@ def dist_spmv(
     mesh = dm.mesh
     nslices = dm.nslices_max
     local_rows = dm.local_rows_max
+    ncols = dm.shape[1]
+    D = dm.n_shards
+    if x_sharded:
+        # pad x to a device multiple so shard_map can split it; the
+        # gathered copy is sliced back to ncols inside
+        ncp = -(-ncols // D) * D
+        if x.shape[0] != ncp:
+            x = jnp.pad(x, (0, ncp - x.shape[0]))
 
     x_spec = P(AXIS) if x_sharded else P(None)
 
     def fn(vals, cols, slot_slice, perm, xs):
         x_full = (
-            jax.lax.all_gather(xs, AXIS, tiled=True) if x_sharded else xs
+            jax.lax.all_gather(xs, AXIS, tiled=True)[:ncols]
+            if x_sharded
+            else xs
         )
         return _local_spmv(
             vals, cols, slot_slice, perm, x_full, nslices, local_rows

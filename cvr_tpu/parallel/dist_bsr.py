@@ -136,12 +136,20 @@ def dist_spmm_bsr(
     nrb_local = dm.nrb_local_max
     ncb = dm.ncb
 
-    Xp = jnp.pad(X.astype(jnp.float32), ((0, ncb * B - ncols), (0, 0)))
+    D_shards = dm.n_shards
+    xrows = ncb * B
+    if x_sharded:
+        # pad the row-padded X further to a device multiple; sliced back
+        # after the in-shard gather
+        xrows = -(-ncb * B // D_shards) * D_shards
+    Xp = jnp.pad(X.astype(jnp.float32), ((0, xrows - ncols), (0, 0)))
     x_spec = P(AXIS) if x_sharded else P(None)
 
     def fn(vals, brow, bcol, xs):
         x_full = (
-            jax.lax.all_gather(xs, AXIS, tiled=True) if x_sharded else xs
+            jax.lax.all_gather(xs, AXIS, tiled=True)[: ncb * B]
+            if x_sharded
+            else xs
         )
         gx = x_full.reshape(ncb, B, K)[bcol[0]]
         prod = jax.lax.dot_general(

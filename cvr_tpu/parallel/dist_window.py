@@ -201,6 +201,11 @@ def dist_spmv_window(
     from cvr_tpu.ops.spmv_window import _x_table
 
     nrows, ncols = dm.shape
+    D_shards = dm.n_shards
+    if x_sharded:
+        ncp = -(-ncols // D_shards) * D_shards
+        if x.shape[0] != ncp:
+            x = jnp.pad(x, (0, ncp - x.shape[0]))
     x_spec = P(AXIS) if x_sharded else P(None)
 
     class _XGeom:  # minimal view for _x_table
@@ -211,7 +216,9 @@ def dist_spmv_window(
 
     def fn(vals, li, w10, emit, seg_blk, xs):
         x_full = (
-            jax.lax.all_gather(xs, AXIS, tiled=True) if x_sharded else xs
+            jax.lax.all_gather(xs, AXIS, tiled=True)[:ncols]
+            if x_sharded
+            else xs
         )
         x3 = _x_table(_XGeom, x_full.astype(jnp.float32))
         vals, li, w10, emit, seg_blk = (

@@ -41,6 +41,7 @@ def cgo18_suite():
         banded_matrix,
         citation_like,
         fem_like,
+        fsm_like,
         rgg_like,
         road_usa_like,
         soc_livejournal_like,
@@ -48,14 +49,32 @@ def cgo18_suite():
         wiki_talk_like,
     )
 
+    def real_or(name, group, fallback):
+        """Use a genuine cached SuiteSparse matrix when present (offline
+        cache, io/suitesparse.py); otherwise the synthetic stand-in."""
+        def load():
+            try:
+                from cvr_tpu.io.suitesparse import load_suitesparse
+
+                return load_suitesparse(name, group=group)
+            except FileNotFoundError:
+                return fallback()
+        return load
+
     return [
-        ("web-Google-like", web_google_like),       # webGraph: 7.28
-        ("soc-LJ-like", soc_livejournal_like),      # social:   6.59
-        ("wiki-Talk-like", wiki_talk_like),         # wiki:     5.77
-        ("citation-like", citation_like),           # citation: 6.26
-        ("road-usa-like", road_usa_like),           # road:     9.57
-        ("rgg-like", rgg_like),                     # routing: 17.11
-        ("fem-like", fem_like),                     # EngSci:  21.11
+        ("web-Google-like",
+         real_or("web-Google", "SNAP", web_google_like)),  # webGraph: 7.28
+        ("soc-LJ-like",
+         real_or("soc-LiveJournal1", "SNAP", soc_livejournal_like)),  # social: 6.59
+        ("wiki-Talk-like",
+         real_or("wiki-Talk", "SNAP", wiki_talk_like)),    # wiki:     5.77
+        ("citation-like",
+         real_or("cit-Patents", "SNAP", citation_like)),   # citation: 6.26
+        ("road-usa-like",
+         real_or("road_usa", "DIMACS10", road_usa_like)),  # road:     9.57
+        ("rgg-like", rgg_like),                            # routing: 17.11
+        ("fsm-like", fsm_like),                            # FSM:      8.09
+        ("fem-like", fem_like),                            # EngSci:  21.11
         ("banded-2M", lambda: banded_matrix(1 << 21, bandwidth=27)),
     ]
 

@@ -44,14 +44,16 @@ class TestHarness:
     def test_rejects_rectangular(self):
         from cvr_tpu.formats.coo import COOMatrix
 
+        # rectangular matrices are benchmarkable (the timing loop
+        # slices/pads the carry around A; see test_benchmark_rectangular)
         coo = COOMatrix(
             rows=np.array([0], dtype=np.int32),
             cols=np.array([1], dtype=np.int32),
             vals=np.array([1.0], dtype=np.float32),
             shape=(2, 3),
         )
-        with pytest.raises(ValueError):
-            run_spmv_benchmark(coo, iters=1, chip="cpu")
+        r = run_spmv_benchmark(coo, iters=1, chip="cpu")
+        assert r.verified
 
     def test_report_grep_contract(self, capsys):
         r = BenchResult(
@@ -103,3 +105,15 @@ class TestReport:
         append_jsonl(r, jp)
         row = json.loads(jp.read_text())
         assert row["impl"] == "csr"
+
+
+def test_benchmark_rectangular():
+    """The harness benchmarks non-square matrices (the reference accepts
+    any .mtx): the timing loop slices/pads the carry around A."""
+    from tests.conftest import make_random_coo
+    from cvr_tpu.bench.harness import run_spmv_benchmark
+
+    coo = make_random_coo(900, 500, density=0.02, seed=8)
+    r = run_spmv_benchmark(coo, name="rect", impl="sell-xla", iters=4)
+    assert r.verified
+    assert r.spmv_s > 0

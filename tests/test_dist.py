@@ -176,3 +176,23 @@ def test_dist_window_spmv_x_sharded():
         row_scale=spmv_row_scale(csr, x),
     )
     assert ok, f"{nbad} bad rows, max rel {maxrel}"
+
+
+def test_dist_xsharded_uneven_ncols():
+    """ncols not divisible by the shard count with x_sharded=True (the
+    round-1 gap): x is padded to a device multiple before shard_map and
+    sliced after the in-shard all-gather."""
+    from cvr_tpu.parallel.dist import dist_sell_pack, dist_spmv, make_mesh
+    from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
+
+    coo = make_random_coo(1003, 777, density=0.02, seed=11)
+    csr = coo.to_csr()
+    mesh = make_mesh(8)
+    dm = dist_sell_pack(csr, mesh, C=8)
+    x = np.random.default_rng(5).standard_normal(777).astype(np.float32)
+    y = np.asarray(dist_spmv(dm, x, x_sharded=True))
+    ok, nbad, maxrel = verify(
+        y, spmv_golden_numpy(csr, x), rtol=1e-6,
+        row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok, (nbad, maxrel)

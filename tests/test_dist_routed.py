@@ -1,0 +1,88 @@
+"""Distributed routed-gather SpMV: the flagship Pallas pipeline per shard
+under shard_map on the virtual 8-device CPU mesh (SURVEY.md §4's
+multi-chip answer; reference analogue = one optimized kernel binary per
+OpenMP thread, spmv.cpp:1034-1041).
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_powerlaw_coo, make_random_coo
+
+import jax
+
+from cvr_tpu.parallel.dist import make_mesh
+from cvr_tpu.parallel.dist_routed import (
+    dist_routed_pack,
+    dist_spmv_routed,
+    dist_spmv_routed_jit,
+)
+from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
+
+
+def _check(coo, n_dev=8, x_sharded=False, seed=0, jit=False):
+    csr = coo.to_csr()
+    mesh = make_mesh(n_dev)
+    dm = dist_routed_pack(csr, mesh)
+    x = (
+        np.random.default_rng(seed)
+        .standard_normal(coo.shape[1])
+        .astype(np.float32)
+    )
+    if jit:
+        y = np.asarray(dist_spmv_routed_jit(dm, x_sharded=x_sharded)(x))
+    else:
+        y = np.asarray(dist_spmv_routed(dm, x, x_sharded=x_sharded))
+    gold = spmv_golden_numpy(csr, x)
+    ok, nbad, maxrel = verify(
+        y, gold, rtol=1e-6, row_scale=spmv_row_scale(csr, x)
+    )
+    assert ok, (nbad, maxrel)
+    return dm
+
+
+def test_dist_routed_powerlaw():
+    dm = _check(make_powerlaw_coo(6000, 6000, avg_nnz=8, seed=1))
+    assert dm.n_shards == 8
+    # shards share one geometry: every plane has the device axis leading
+    for v in dm.planes.values():
+        assert v.shape[0] == 8
+
+
+def test_dist_routed_x_sharded_uneven():
+    # ncols not divisible by the shard count (the round-1 x_sharded bug)
+    _check(
+        make_random_coo(1003, 777, density=0.02, seed=4), x_sharded=True
+    )
+
+
+def test_dist_routed_jit_and_rect():
+    _check(
+        make_powerlaw_coo(3000, 5000, avg_nnz=6, seed=7),
+        x_sharded=True,
+        jit=True,
+    )
+
+
+def test_dist_routed_two_shards():
+    _check(make_powerlaw_coo(4000, 4000, avg_nnz=5, seed=3), n_dev=2)
+
+
+def test_dist_routed_matches_single_chip():
+    """The distributed result must equal the single-chip routed result
+    bit-for-bit per shard ordering-independent check: verify both against
+    the same golden."""
+    coo = make_powerlaw_coo(2500, 2500, avg_nnz=7, seed=9)
+    csr = coo.to_csr()
+    from cvr_tpu.formats.sell_routed import sell_pack_routed
+    from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
+
+    x = np.random.default_rng(2).standard_normal(2500).astype(np.float32)
+    y1 = np.asarray(spmv_routed(to_device_routed(sell_pack_routed(csr)), x))
+    mesh = make_mesh(4)
+    y2 = np.asarray(dist_spmv_routed(dist_routed_pack(csr, mesh), x))
+    gold = spmv_golden_numpy(csr, x)
+    rs = spmv_row_scale(csr, x)
+    for y in (y1, y2):
+        ok, nbad, maxrel = verify(y, gold, rtol=1e-6, row_scale=rs)
+        assert ok, (nbad, maxrel)
