@@ -109,11 +109,12 @@ def get_lib():
     lib.cvr_window_minmax.restype = ctypes.c_int
     lib.cvr_window_minmax.argtypes = [
         _i64, _i64, _i64, _i64p, _i32p, _i64p, _i64, _i32p, _i32p,
+        _i32p,
     ]
     lib.cvr_window_fill_ss.restype = ctypes.c_int
     lib.cvr_window_fill_ss.argtypes = [
         _i64, _i64, _i64, _i64p, _i32p, _f32p, _i64p, _i64p, _i32p,
-        _i64, _f32p, _i16p,
+        _i64, _i32p, _f32p, _i16p,
     ]
     lib.cvr_bsr_count.restype = _i64
     lib.cvr_bsr_count.argtypes = [_i64, _i64, _i64p, _i32p]
@@ -142,7 +143,14 @@ def get_lib():
     lib.cvr_mid_planes_ss.argtypes = [
         _i64, _i32p, _i32p, _i16p, _i16p, _i16p,
     ]
-    if lib.cvr_version() != 10:
+    _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.cvr_dia_offsets.restype = ctypes.c_int
+    lib.cvr_dia_offsets.argtypes = [_i64, _i64, _i64p, _i32p, _u8p]
+    lib.cvr_dia_fill.restype = ctypes.c_int
+    lib.cvr_dia_fill.argtypes = [
+        _i64, _i64, _i64p, _i32p, _f32p, _i64, _i64p, _f32p,
+    ]
+    if lib.cvr_version() != 12:
         return None
     _LIB = lib
     return _LIB
@@ -354,20 +362,27 @@ def euler_color_rows_native(src, dst, n_rows: int, tk: int, k: int):
     return color
 
 
-def window_minmax_native(nrows, C, D, rowptr, csr_cols, slice_offsets):
-    """Per-plane-row column min/max straight from CSR (SELL-W pass 1)."""
+def window_minmax_native(
+    nrows, C, D, rowptr, csr_cols, slice_offsets, perm=None
+):
+    """Per-plane-row column min/max straight from CSR (SELL-W pass 1).
+
+    perm: plane position -> CSR row (identity when None) — the
+    sigma-sorted pack's block-local length ordering."""
     lib = get_lib()
     if lib is None:
         raise NativeError("native library unavailable")
     S = int(slice_offsets[-1])
     wmin = np.empty(S, dtype=np.int32)
     wmax = np.empty(S, dtype=np.int32)
+    if perm is None:
+        perm = np.arange(nrows, dtype=np.int32)
     rc = lib.cvr_window_minmax(
         nrows, C, D,
         np.ascontiguousarray(rowptr, dtype=np.int64),
         np.ascontiguousarray(csr_cols, dtype=np.int32),
         np.ascontiguousarray(slice_offsets, dtype=np.int64),
-        S, wmin, wmax,
+        S, np.ascontiguousarray(perm, dtype=np.int32), wmin, wmax,
     )
     if rc != 0:
         raise NativeError(native_error(lib))
@@ -376,7 +391,7 @@ def window_minmax_native(nrows, C, D, rowptr, csr_cols, slice_offsets):
 
 def window_fill_ss_native(
     nrows, C, D, rowptr, csr_cols, csr_vals, slice_offsets, rmap,
-    base_col, S_pad,
+    base_col, S_pad, perm=None,
 ):
     """Value + in-window-offset planes, directly in padded sublane-split
     stream layout (SELL-W pass 2)."""
@@ -385,6 +400,8 @@ def window_fill_ss_native(
         raise NativeError("native library unavailable")
     vals_ss = np.zeros((8, S_pad, 128), dtype=np.float32)
     li_ss = np.zeros((8, S_pad, 128), dtype=np.int16)
+    if perm is None:
+        perm = np.arange(nrows, dtype=np.int32)
     rc = lib.cvr_window_fill_ss(
         nrows, C, D,
         np.ascontiguousarray(rowptr, dtype=np.int64),
@@ -393,7 +410,8 @@ def window_fill_ss_native(
         np.ascontiguousarray(slice_offsets, dtype=np.int64),
         np.ascontiguousarray(rmap, dtype=np.int64),
         np.ascontiguousarray(base_col, dtype=np.int32),
-        S_pad, vals_ss, li_ss,
+        S_pad, np.ascontiguousarray(perm, dtype=np.int32),
+        vals_ss, li_ss,
     )
     if rc != 0:
         raise NativeError(native_error(lib))
@@ -534,6 +552,42 @@ def mid_planes_ss_native(mid, T: int, colors_rows):
     if rc != 0:
         raise NativeError(native_error(lib))
     return m1, csel, m3
+
+
+def dia_offsets_native(rowptr, cols, nrows: int, ncols: int):
+    """Distinct diagonals (col - row) in one native pass."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    flags = np.zeros(nrows + ncols, dtype=np.uint8)
+    rc = lib.cvr_dia_offsets(
+        nrows, int(rowptr[-1]),
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(cols, dtype=np.int32),
+        flags,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return np.flatnonzero(flags).astype(np.int64) - nrows
+
+
+def dia_fill_native(rowptr, cols, vals, offsets, nrows: int):
+    """DIA band planes in one native pass (formats/dia.py)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    bands = np.zeros((offsets.shape[0], nrows), dtype=np.float32)
+    rc = lib.cvr_dia_fill(
+        nrows, int(rowptr[-1]),
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(cols, dtype=np.int32),
+        np.ascontiguousarray(vals, dtype=np.float32),
+        offsets.shape[0], offsets, bands,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return bands
 
 
 def available() -> bool:

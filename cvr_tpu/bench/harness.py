@@ -252,7 +252,20 @@ def run_spmv_benchmark(
     norm_inf = float(row_abs.max())
     pi_scale = 1.0 / norm_inf if norm_inf > 0 else 1.0
 
-    if impl in ("sell-window", "window"):
+    if impl == "dia":
+        from cvr_tpu.formats.dia import dia_pack
+        from cvr_tpu.ops.spmv_dia import spmv_dia, to_device_dia
+
+        t0 = time.perf_counter()
+        dmx = dia_pack(csr)
+        preproc = time.perf_counter() - t0
+        padded = dmx.padded_nnz
+        sd = to_device_dia(dmx)
+        xd = jnp.asarray(x)
+        kernel = spmv_dia
+        spmv_s = time_fn_iterated(kernel, sd, xd, iters=iters, scale=pi_scale, out_n=csr.shape[0])
+        y = np.asarray(jax.jit(kernel)(sd, xd))
+    elif impl in ("sell-window", "window"):
         from cvr_tpu.formats.sell_window import sell_pack_window
         from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
 
@@ -267,7 +280,9 @@ def run_spmv_benchmark(
         y = np.asarray(jax.jit(kernel)(sd, xd))
     elif impl == "auto":
         from cvr_tpu.formats import pack_auto
+        from cvr_tpu.formats.dia import DiaMatrix
         from cvr_tpu.formats.sell_routed import SellRouted
+        from cvr_tpu.ops.spmv_dia import spmv_dia, to_device_dia
         from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
         from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
 
@@ -277,7 +292,10 @@ def run_spmv_benchmark(
         padded = packed.padded_nnz if hasattr(packed, "padded_nnz") else (
             packed.T * 1024
         )
-        if isinstance(packed, SellRouted):
+        if isinstance(packed, DiaMatrix):
+            sd = to_device_dia(packed)
+            kernel = spmv_dia
+        elif isinstance(packed, SellRouted):
             sd = to_device_routed(packed)
             kernel = spmv_routed
         else:

@@ -57,6 +57,7 @@ def cmd_spmv(args) -> int:
 
     impl = {
         "auto": "auto",
+        "dia": "dia",
         "routed": "sell-routed",
         "sell-routed": "sell-routed",
         "window": "sell-window",
@@ -123,6 +124,8 @@ def _spmv_prepacked(args, coo) -> int:
         z = np.load(args.load_packed)
         if "mid_kind" in z.files:
             fmt = "routed"
+        elif "bands" in z.files:
+            fmt = "dia"
         elif "w10" in z.files:
             fmt = "window"
         else:
@@ -137,6 +140,16 @@ def _spmv_prepacked(args, coo) -> int:
             return 1
         sd = to_device_routed(srt)
         kernel = spmv_routed
+    elif fmt == "dia":
+        from cvr_tpu.formats.dia import DiaMatrix
+        from cvr_tpu.ops.spmv_dia import spmv_dia, to_device_dia
+
+        dmx = DiaMatrix.load(args.load_packed)
+        if dmx.shape != coo.shape:
+            print("packed artifact shape mismatch")
+            return 1
+        sd = to_device_dia(dmx)
+        kernel = spmv_dia
     elif fmt in ("window", "sell-window"):
         from cvr_tpu.formats.sell_window import SellWindow
         from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
@@ -210,12 +223,17 @@ def _spmm(args, coo) -> int:
         pass
     elif args.format == "auto":
         from cvr_tpu.formats import pack_auto
+        from cvr_tpu.formats.dia import DiaMatrix
         from cvr_tpu.formats.sell_routed import SellRouted
+        from cvr_tpu.ops.spmv_dia import spmm_dia, to_device_dia
         from cvr_tpu.ops.spmv_routed import spmm_routed, to_device_routed
         from cvr_tpu.ops.spmv_window import spmm_window, to_device_window
 
         packed = pack_auto(csr)
-        if isinstance(packed, SellRouted):
+        if isinstance(packed, DiaMatrix):
+            sd = to_device_dia(packed)
+            kernel = spmm_dia
+        elif isinstance(packed, SellRouted):
             sd = to_device_routed(packed)
             kernel = spmm_routed
         else:
@@ -233,6 +251,12 @@ def _spmm(args, coo) -> int:
 
         sd = to_device_window(sell_pack_window(csr))
         kernel = spmm_window
+    elif args.format == "dia":
+        from cvr_tpu.formats.dia import dia_pack
+        from cvr_tpu.ops.spmv_dia import spmm_dia, to_device_dia
+
+        sd = to_device_dia(dia_pack(csr))
+        kernel = spmm_dia
     else:
         from cvr_tpu.formats.sell import sell_pack
         from cvr_tpu.ops.spmv import sell_spmm_xla, to_device
@@ -271,7 +295,7 @@ def cmd_compare(args) -> int:
     if args.rhs > 1:
         import argparse as _ap
 
-        for fmt in ("bsr", "routed", "window", "sell"):
+        for fmt in ("bsr", "dia", "routed", "window", "sell"):
             sub = _ap.Namespace(**{**vars(args), "format": fmt})
             try:
                 _spmm(sub, coo)
@@ -282,7 +306,7 @@ def cmd_compare(args) -> int:
     from cvr_tpu.bench.harness import run_spmv_benchmark
 
     results = []
-    for impl in ("csr", "sell-xla", "sell-routed", "sell-window"):
+    for impl in ("csr", "sell-xla", "sell-routed", "sell-window", "dia"):
         try:
             r = run_spmv_benchmark(
                 coo, name=args.matrix, impl=impl, iters=args.iters
@@ -342,7 +366,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--format",
         default="auto",
         choices=[
-            "auto", "bsr", "routed", "sell-routed", "window",
+            "auto", "bsr", "dia", "routed", "sell-routed", "window",
             "sell-window", "sell", "csr",
         ],
     )

@@ -1,5 +1,6 @@
 from cvr_tpu.formats.bsr import BsrInfeasible, BsrMatrix, bsr_pack
 from cvr_tpu.formats.coo import COOMatrix
+from cvr_tpu.formats.dia import DiaInfeasible, DiaMatrix, dia_pack
 from cvr_tpu.formats.csr import CSRMatrix
 from cvr_tpu.formats.sell import SellMatrix, sell_pack, sell_unpack
 from cvr_tpu.formats.sell_window import (
@@ -12,6 +13,9 @@ __all__ = [
     "BsrInfeasible",
     "BsrMatrix",
     "bsr_pack",
+    "DiaInfeasible",
+    "DiaMatrix",
+    "dia_pack",
     "COOMatrix",
     "CSRMatrix",
     "SellMatrix",
@@ -47,6 +51,12 @@ def pack_auto(csr: CSRMatrix, max_window_fill: float = 2.0):
     """
     from cvr_tpu.formats.sell_routed import sell_pack_routed
 
+    # Strictly banded/stencil matrices: the DIA path is pure streaming
+    # (no gathers at all) and beats every other format outright.
+    try:
+        return dia_pack(csr)
+    except DiaInfeasible:
+        pass
     try:
         sw = sell_pack_window(csr)
     except WindowInfeasible:

@@ -87,6 +87,8 @@ class SellWindow:
     nslices: int
     segw: int
     n_segs: int
+    wrl: int = 0  # gather-candidate count; 0/absent = W // 128
+    y_ra: dict | None = None  # compiled y-route (sigma-sorted packs only)
     convert_time: float = 0.0
     convert_phases: dict = field(default_factory=dict)
 
@@ -97,6 +99,22 @@ class SellWindow:
     def save(self, path: str | Path) -> None:
         """Persist the packed artifact (reference analogue: VHCC's binary
         matrix cache, MatrixDataConverter.cpp:14-89)."""
+        extra = {}
+        if self.y_ra is not None:
+            ymid = self.y_ra["mid_planes"]
+            extra = {
+                "y_s1": self.y_ra["s1"], "y_s3": self.y_ra["s3"],
+                "y_T": np.int64(self.y_ra["T"]),
+                "y_Tp": np.int64(self.y_ra["Tp"]),
+                "y_n": np.int64(self.y_ra["n"]),
+                "ymid_kind": np.bytes_(ymid["kind"].encode()),
+                "ymid_Tk": np.int64(ymid["Tk"]),
+                **{
+                    f"ymid_{k}": ymid[k]
+                    for k in ("mid", "m1", "csel", "m3")
+                    if k in ymid
+                },
+            }
         np.savez_compressed(
             path,
             vals_ss=self.vals_ss, li=self.li, w10=self.w10,
@@ -107,7 +125,8 @@ class SellWindow:
             D=np.int64(self.D), G=np.int64(self.G),
             S=np.int64(self.S), S_pad=np.int64(self.S_pad),
             nslices=np.int64(self.nslices), segw=np.int64(self.segw),
-            n_segs=np.int64(self.n_segs),
+            n_segs=np.int64(self.n_segs), wrl=np.int64(self.wrl),
+            **extra,
         )
 
     @staticmethod
@@ -122,6 +141,25 @@ class SellWindow:
             G=int(z["G"]), S=int(z["S"]),
             S_pad=int(z["S_pad"]), nslices=int(z["nslices"]),
             segw=int(z["segw"]), n_segs=int(z["n_segs"]),
+            wrl=int(z["wrl"]) if "wrl" in z.files else 0,
+            y_ra=(
+                {
+                    "s1": z["y_s1"], "s3": z["y_s3"],
+                    "T": int(z["y_T"]), "Tp": int(z["y_Tp"]),
+                    "n": int(z["y_n"]),
+                    "mid_planes": {
+                        "kind": bytes(z["ymid_kind"]).decode(),
+                        "Tk": int(z["ymid_Tk"]),
+                        **{
+                            k: z[f"ymid_{k}"]
+                            for k in ("mid", "m1", "csel", "m3")
+                            if f"ymid_{k}" in z.files
+                        },
+                    },
+                }
+                if "y_s1" in z.files
+                else None
+            ),
         )
 
 
@@ -143,7 +181,8 @@ def _plan_for_d(nrows, row_lengths, D):
     return nslices, widths, slice_offsets, S
 
 
-def _window_fill_numpy(nrows, C, D, rowptr, cols, vals, slice_offsets):
+def _window_fill_numpy(nrows, C, D, rowptr, cols, vals, slice_offsets,
+                       perm=None):
     """Pure-NumPy fallback for the native fill (tests / small matrices)."""
     S = int(slice_offsets[-1])
     SENT = np.iinfo(np.int32).max
@@ -153,12 +192,21 @@ def _window_fill_numpy(nrows, C, D, rowptr, cols, vals, slice_offsets):
     rps = C // D
     if nnz:
         lengths = np.diff(rowptr)
+        # plane position of each row (identity or the sigma-sort perm)
+        if perm is None:
+            pos = np.arange(nrows, dtype=np.int64)
+        else:
+            pos = np.empty(nrows, dtype=np.int64)
+            pos[np.asarray(perm, dtype=np.int64)] = np.arange(
+                nrows, dtype=np.int64
+            )
         r = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
+        pr = pos[r]
         j = np.arange(nnz, dtype=np.int64) - np.repeat(rowptr[:-1], lengths)
         L = np.repeat(np.maximum(-(-lengths // D), 1), lengths)
         slot = j % L
-        lane = (r % rps) * D + j // L
-        dest = (slice_offsets[r // rps] + slot) * C + lane
+        lane = (pr % rps) * D + j // L
+        dest = (slice_offsets[pr // rps] + slot) * C + lane
         vals_plane.reshape(-1)[dest] = vals
         cols_plane.reshape(-1)[dest] = cols
     masked = np.ma.masked_equal(cols_plane, SENT)
@@ -170,19 +218,25 @@ def _window_fill_numpy(nrows, C, D, rowptr, cols, vals, slice_offsets):
 
 
 def _grid_fit(wmin, wmax, W, G):
-    """Per plane row, the first of the G offset grids whose W-wide aligned
-    window covers [wmin, wmax].  Returns (all_fit, grid, wb)."""
+    """Per plane row, the offset grid whose W-wide aligned window covers
+    [wmin, wmax] with the SMALLEST max in-window offset (fewer gather
+    candidates in the kernel — the WRL class).  Returns
+    (all_fit, grid, wb)."""
     step = 1024 // G
     wmin64 = wmin.astype(np.int64)
     wmax64 = wmax.astype(np.int64)
     grid = np.full(wmin.shape[0], -1, dtype=np.int32)
     wb = np.zeros(wmin.shape[0], dtype=np.int32)
+    best = np.full(wmin.shape[0], np.iinfo(np.int64).max)
     for g in range(G):
         wb_g = (wmin64 - g * step) >> 10
-        ok = (wb_g >= 0) & (wmax64 < wb_g * 1024 + g * step + W)
-        take = ok & (grid < 0)
+        base = wb_g * 1024 + g * step
+        ok = (wb_g >= 0) & (wmax64 < base + W)
+        limax = wmax64 - base  # max in-window offset under this grid
+        take = ok & (limax < best)
         grid = np.where(take, g, grid)
         wb = np.where(take, wb_g.astype(np.int32), wb)
+        best = np.where(take, limax, best)
     return bool(np.all(grid >= 0)), grid, wb
 
 
@@ -217,6 +271,14 @@ def sell_pack_window(
     with pt.phase("plan"):
         row_lengths = csr.row_lengths
         plans = {}  # D -> (nslices, widths, slice_offsets, S)
+        # NOTE a sigma-sorted row permutation (length sort within blocks)
+        # was tried for low-fill Poisson-degree inputs (road) and is
+        # structurally infeasible here: a slice's 1024 rows must stay
+        # NEIGHBORS for the per-slot column windows to hold, and sorting
+        # across sigma*1024 rows explodes the spread past the window
+        # reach.  Low-fill inputs route better through the length-sorted
+        # SELL-R path (pack_auto handles the dispatch).
+        perms = {D: None for D in (1, 2, 4)}
         for D in (1, 2, 4):
             plans[D] = _plan_for_d(nrows, row_lengths, D)
         # candidate order: estimated kernel cost = rows x (base + gathers)
@@ -238,12 +300,13 @@ def sell_pack_window(
             offs = plans[D][2]
             if native_ok:
                 mm = _native.window_minmax_native(
-                    nrows, TILE, D, csr.rowptr, csr.cols, offs
+                    nrows, TILE, D, csr.rowptr, csr.cols, offs,
+                    perm=perms[D],
                 )
             else:
                 fills[D] = _window_fill_numpy(
                     nrows, TILE, D, csr.rowptr, csr.cols,
-                    csr.vals.astype(np.float32), offs,
+                    csr.vals.astype(np.float32), offs, perm=perms[D],
                 )
                 mm = (fills[D][3], fills[D][4])
             minmax[D] = mm
@@ -270,6 +333,13 @@ def sell_pack_window(
         nslices, widths, slice_offsets, S = plans[D]
         step = 1024 // NGRIDS
         base_col = wb_used * 1024 + grid * step
+        wmin, wmax = minmax[D]
+        # gather-candidate class: the kernel only selects over slab rows
+        # that can actually hold an offset (WRL <= W/128)
+        li_max = int(
+            (wmax.astype(np.int64) - base_col.astype(np.int64)).max()
+        ) if S else 0
+        wrl = min(W // 128, (max(li_max, 0) >> 7) + 1)
 
     with pt.phase("segments"):
         nwin = max(1, -(-ncols // 1024))
@@ -321,7 +391,7 @@ def sell_pack_window(
         if native_ok:
             vals_pad, li_pad = _native.window_fill_ss_native(
                 nrows, TILE, D, csr.rowptr, csr.cols, csr.vals,
-                slice_offsets, rmap, base_col, S_pad,
+                slice_offsets, rmap, base_col, S_pad, perm=perms[D],
             )
         else:
             vals_plane, cols_plane, pad_mask, _, _ = fills[D]
@@ -368,6 +438,7 @@ def sell_pack_window(
         nslices=nslices,
         segw=int(segw),
         n_segs=int(n_segs),
+        wrl=int(wrl),
         convert_time=pt.total,
         convert_phases=dict(pt.phases),
     )

@@ -67,6 +67,81 @@ YB = 512
 TB = int(os.environ.get("CVR_TB", "128"))
 
 
+def _emit_store_slab(y_ref, acc, dest):
+    """Aligned 8-slice slab rewrite with a lane-select (Mosaic rejects
+    unaligned dynamic stores)."""
+    d8 = pl.multiple_of(jax.lax.shift_right_logical(dest, 3) * 8, 8)
+    cur = y_ref[:, pl.ds(d8, 8), :]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 8, 128), 1)
+        == (dest - d8)[None, None, None]
+    )
+    y_ref[:, pl.ds(d8, 8), :] = jnp.where(sel, acc[:, None, :], cur)
+
+
+def _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref):
+    """Phase-2 slice accumulation over CH plane rows, dispatched per
+    8-row group on the host-computed emission code (group_emit_encode):
+    zero-emission groups take one (8,8,128) tree reduction, single-
+    emission groups two masked reductions, only multi-emission groups
+    (slices narrower than ~8 rows) walk row by row — measured to be the
+    dominant cost of the reduce pass before this dispatch."""
+
+    def rgroup(rg, _):
+        r8 = pl.multiple_of(rg * 8, 8)
+        code = gemit_ref[blk * (CH // 8) + rg]
+
+        @pl.when(code == -2)
+        def _():
+            acc_ref[...] += jnp.sum(p_ref[:, pl.ds(r8, 8), :], axis=1)
+
+        @pl.when(code >= 0)
+        def _():
+            j = jax.lax.shift_right_logical(code, 16)
+            dest = jnp.bitwise_and(code, 65535)
+            p8 = p_ref[:, pl.ds(r8, 8), :]
+            le = (
+                jax.lax.broadcasted_iota(jnp.int32, (8, 8, 128), 1)
+                <= j[None, None, None]
+            )
+            emitted = acc_ref[...] + jnp.sum(
+                jnp.where(le, p8, 0.0), axis=1
+            )
+            rest = jnp.sum(jnp.where(le, 0.0, p8), axis=1)
+            _emit_store_slab(y_ref, emitted, dest)
+            acc_ref[...] = rest
+
+        @pl.when(code == -1)
+        def _():
+            p8 = p_ref[:, pl.ds(r8, 8), :]
+            for j in range(8):
+                acc_ref[...] += p8[:, j, :]
+                dest = emit_ref[blk * CH + rg * 8 + j]
+
+                @pl.when(dest >= 0)
+                def _():
+                    _emit_store_slab(y_ref, acc_ref[...], dest)
+                    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        return 0
+
+    jax.lax.fori_loop(0, CH // 8, rgroup, 0, unroll=False)
+
+
+def group_emit_encode(emit):
+    """Per-8-row-group emission code: -2 none, -1 several, else
+    ``j << 16 | dest`` for the single emission at group row j."""
+    e = np.asarray(emit).reshape(-1, 8)
+    has = e >= 0
+    cnt = has.sum(axis=1)
+    j = np.argmax(has, axis=1)
+    dest = e[np.arange(e.shape[0]), j]
+    enc = np.where(
+        cnt == 0, -2, np.where(cnt > 1, -1, (j << 16) | dest)
+    )
+    return enc.astype(np.int32)
+
+
 def use_interpret() -> bool:
     """Interpret mode off-TPU (CPU tests); compiled on tpu/axon backends."""
     try:
@@ -303,7 +378,8 @@ def expand(
 # ---------------------------------------------------------------------------
 
 
-def _reduce_kernel(emit_ref, v_ref, g_ref, p3_ref, y_ref, acc_ref, p_ref):
+def _reduce_kernel(emit_ref, gemit_ref, v_ref, g_ref, p3_ref, y_ref,
+                   acc_ref, p_ref):
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -323,35 +399,7 @@ def _reduce_kernel(emit_ref, v_ref, g_ref, p3_ref, y_ref, acc_ref, p_ref):
             acc = jnp.where(hi == s, cand, acc)
         p_ref[i] = acc * v_ref[i]
 
-    # Sequential per-tile accumulation with slice-end emissions.  Tiles
-    # are walked in aligned groups of 8; an emission rewrites the aligned
-    # 8-slice slab containing its destination with a lane-select (Mosaic
-    # rejects unaligned dynamic stores).
-    def rgroup(rg, _):
-        r8 = pl.multiple_of(rg * 8, 8)
-        p8 = p_ref[:, pl.ds(r8, 8), :]
-        for j in range(8):
-            acc_ref[...] += p8[:, j, :]
-            dest = emit_ref[blk * CH + rg * 8 + j]
-
-            @pl.when(dest >= 0)
-            def _():
-                d8 = pl.multiple_of(
-                    jax.lax.shift_right_logical(dest, 3) * 8, 8
-                )
-                cur = y_ref[:, pl.ds(d8, 8), :]
-                sel = (
-                    jax.lax.broadcasted_iota(jnp.int32, (8, 8, 128), 1)
-                    == (dest - d8)[None, None, None]
-                )
-                y_ref[:, pl.ds(d8, 8), :] = jnp.where(
-                    sel, acc_ref[...][:, None, :], cur
-                )
-                acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        return 0
-
-    jax.lax.fori_loop(0, CH // 8, rgroup, 0, unroll=False)
+    _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref)
 
 
 @functools.lru_cache(maxsize=None)
@@ -360,24 +408,24 @@ def _reduce_call(S: int, nslices: int, interpret: bool):
     # slabs need y rows [d8, d8+8) to exist).
     grid = S // CH
     spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # emit, gemit
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (8, CH, 128), lambda i, e: (0, i, 0),
+                (8, CH, 128), lambda i, e, ge: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (8, CH, 128), lambda i, e: (0, i, 0),
+                (8, CH, 128), lambda i, e, ge: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (8, CH, 128), lambda i, e: (0, i, 0),
+                (8, CH, 128), lambda i, e, ge: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, nslices, 128), lambda i, e: (0, 0, 0),
+            (8, nslices, 128), lambda i, e, ge: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -386,19 +434,20 @@ def _reduce_call(S: int, nslices: int, interpret: bool):
         ],
     )
 
-    def fn(emit, vals, gx, p3):
+    def fn(emit, gemit, vals, gx, p3):
         return pl.pallas_call(
             _reduce_kernel,
             grid_spec=spec,
             out_shape=jax.ShapeDtypeStruct((8, nslices, 128), jnp.float32),
             interpret=interpret,
-        )(emit, vals, gx, p3)
+        )(emit, gemit, vals, gx, p3)
 
     return jax.jit(fn)
 
 
 def reduce_slices(
     emit: jax.Array,
+    gemit: jax.Array,
     vals: jax.Array,
     gx: jax.Array,
     p3: jax.Array,
@@ -408,6 +457,7 @@ def reduce_slices(
 
     emit: (S_pad,) int32 — slice id if that plane row ends its slice,
           else -1 (padding rows -1; S_pad must be a multiple of CH);
+    gemit: (S_pad // 8,) int32 from group_emit_encode;
     vals/gx: (8, S_pad, 128) f32 stream layout; p3: int16 same shape.
     Returns y_sorted (8, nslices, 128) — slice sigma's 1024 lane sums at
     [:, sigma, :].
@@ -416,7 +466,9 @@ def reduce_slices(
     if S_pad % CH:
         raise ValueError("emit length must be padded to a multiple of CH")
     nsp = _round_up(max(nslices, 8), 8)
-    out = _reduce_call(S_pad, nsp, use_interpret())(emit, vals, gx, p3)
+    out = _reduce_call(S_pad, nsp, use_interpret())(
+        emit, gemit, vals, gx, p3
+    )
     return out[:, :nslices]
 
 
@@ -431,7 +483,8 @@ def reduce_slices(
 
 
 def _reduce_m3_kernel(
-    ofs: int, emit_ref, m_ref, m3_ref, v_ref, p3_ref, y_ref, acc_ref, p_ref
+    ofs: int, emit_ref, gemit_ref, m_ref, m3_ref, v_ref, p3_ref, y_ref,
+    acc_ref, p_ref
 ):
     blk = pl.program_id(0)
 
@@ -462,32 +515,7 @@ def _reduce_m3_kernel(
             acc = jnp.where(hi == s, cand, acc)
         p_ref[i] = acc * v_ref[i]
 
-    # Sequential per-tile accumulation with slice-end emissions.
-    def rgroup(rg, _):
-        r8 = pl.multiple_of(rg * 8, 8)
-        p8 = p_ref[:, pl.ds(r8, 8), :]
-        for j in range(8):
-            acc_ref[...] += p8[:, j, :]
-            dest = emit_ref[blk * CH + rg * 8 + j]
-
-            @pl.when(dest >= 0)
-            def _():
-                d8 = pl.multiple_of(
-                    jax.lax.shift_right_logical(dest, 3) * 8, 8
-                )
-                cur = y_ref[:, pl.ds(d8, 8), :]
-                sel = (
-                    jax.lax.broadcasted_iota(jnp.int32, (8, 8, 128), 1)
-                    == (dest - d8)[None, None, None]
-                )
-                y_ref[:, pl.ds(d8, 8), :] = jnp.where(
-                    sel, acc_ref[...][:, None, :], cur
-                )
-                acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        return 0
-
-    jax.lax.fori_loop(0, CH // 8, rgroup, 0, unroll=False)
+    _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref)
 
 
 @functools.lru_cache(maxsize=None)
@@ -498,30 +526,30 @@ def _reduce_m3_call(
         raise ValueError("reduce_m3 requires CH == 128")
     grid = S_rows // CH
     spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # emit, gemit
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
                 (8, 1024, 128),
-                lambda i, e: (0, (ofs + i) // 8, 0),
+                lambda i, e, ge: (0, (ofs + i) // 8, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1024, 128),
-                lambda i, e: ((ofs + i) % 8, (ofs + i) // 8, 0),
+                lambda i, e, ge: ((ofs + i) % 8, (ofs + i) // 8, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (8, CH, 128), lambda i, e: (0, i, 0),
+                (8, CH, 128), lambda i, e, ge: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (8, CH, 128), lambda i, e: (0, i, 0),
+                (8, CH, 128), lambda i, e, ge: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, nslices, 128), lambda i, e: (0, 0, 0),
+            (8, nslices, 128), lambda i, e, ge: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -530,7 +558,7 @@ def _reduce_m3_call(
         ],
     )
 
-    def fn(emit, m, m3, vals, p3):
+    def fn(emit, gemit, m, m3, vals, p3):
         return pl.pallas_call(
             functools.partial(_reduce_m3_kernel, ofs),
             grid_spec=spec,
@@ -542,13 +570,14 @@ def _reduce_m3_call(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=24 * 1024 * 1024
             ),
-        )(emit, m, m3, vals, p3)
+        )(emit, gemit, m, m3, vals, p3)
 
     return jax.jit(fn)
 
 
 def reduce_m3_slices(
     emit: jax.Array,
+    gemit: jax.Array,
     m: jax.Array,
     m3: jax.Array,
     vals: jax.Array,
@@ -569,7 +598,7 @@ def reduce_m3_slices(
     nsp = _round_up(max(nslices, 8), 8)
     out = _reduce_m3_call(
         S_rows, nsp, ofs, m.shape[1], use_interpret()
-    )(emit, m, m3, vals, p3)
+    )(emit, gemit, m, m3, vals, p3)
     return out[:, :nslices]
 
 

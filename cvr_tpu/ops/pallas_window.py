@@ -3,10 +3,10 @@
 ONE Pallas pass computes y = A @ x on the SELL-W planes
 (cvr_tpu/formats/sell_window.py): for each plane row (1024 nonzeros), x is
 gathered through the row's aligned column window (the only gather form a
-v5e runs at vector rate — 8/16 lane-gathers + selects over a VMEM slab,
-see docs/DESIGN.md "Gather strategies"), multiplied by the value plane,
-and accumulated into the running slice sum; slice-end rows emit the sum
-into the VMEM-resident y block.
+v5e runs at vector rate — lane-gathers + selects over a VMEM slab, see
+docs/DESIGN.md "Gather strategies"), multiplied by the value plane, and
+accumulated into the running slice sum; slice-end rows emit the sum into
+the VMEM-resident y block.
 
 This is the whole SpMV in a single ~6 bytes/nnz stream (2B in-window
 offset + 4B value), against the routed path's four passes — the payoff
@@ -14,10 +14,24 @@ for the locality assumption.  The reference's analogue of this case is a
 banded/regular matrix where CVR's 8 trackers advance in lockstep and its
 kernel is pure streaming (spmv.cpp:1351-1437, phase 3: no record drains).
 
-Kernel structure mirrors pallas_route's reduce (sequential emission with
-aligned 8-slab rewrites) and expand (per-tile dynamic window slabs,
-provably 8-aligned bases) — the Mosaic rules those encode apply here
-unchanged.
+Two round-2 speedups (both measured to matter):
+
+  * **WRL — the gather-candidate class.**  The slab read must start on an
+    8-row (1024-column) boundary (Mosaic dynamic-sublane alignment), but
+    the number of gather+select candidates only has to cover the LARGEST
+    in-window offset actually present.  The pack computes
+    ``wrl = (max li >> 7) + 1`` (and picks the offset grid per row that
+    minimizes it), so a banded matrix with spread < 256 runs 2 candidate
+    selects per row instead of 8.
+  * **Single-emission groups.**  The sequential phase-2 sweep costs
+    ~10 ns/row in per-row branches; but most 8-row groups contain zero or
+    one slice boundary.  A host-side per-group code (``gemit``) dispatches
+    zero-emission groups to one (8,8,128) reduction and single-emission
+    groups to two masked reductions; only multi-emission groups (slices
+    narrower than ~8 rows) walk row by row.
+
+Kernel structure mirrors pallas_route's reduce (aligned 8-slab rewrites)
+and expand (per-row dynamic window slabs, provably 8-aligned bases).
 """
 
 from __future__ import annotations
@@ -29,22 +43,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cvr_tpu.ops.pallas_route import CH, YB, use_interpret  # noqa: F401
+from cvr_tpu.ops.pallas_route import (  # noqa: F401
+    CH,
+    YB,
+    _emission_sweep,
+    group_emit_encode,
+    use_interpret,
+)
 
-__all__ = ["window_reduce", "CH", "YB"]
+__all__ = ["window_reduce", "group_emit_encode", "CH", "YB"]
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _win_kernel(WR: int, emit_ref, w10_ref, seg_ref, li_ref, v_ref,
-                x3_ref, y_ref, acc_ref, p_ref):
-    """Two phases, measured to matter (docs/DESIGN.md): interleaving the
-    per-row emission branch with the window gathers serializes Mosaic's
-    pipeline (178 ns/plane-row); staging all gathered+scaled rows through
-    VMEM scratch first and sweeping emissions afterwards pipelines both
-    (the structure of pallas_route's reduce kernel)."""
+def _win_kernel(WR: int, WRL: int, emit_ref, w10_ref, seg_ref, gemit_ref,
+                li_ref, v_ref, x3_ref, y_ref, acc_ref, p_ref):
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -54,7 +69,9 @@ def _win_kernel(WR: int, emit_ref, w10_ref, seg_ref, li_ref, v_ref,
         y_ref[...] = jnp.zeros_like(y_ref)
 
     # Phase 1: window gather + FMA for every plane row of the block, no
-    # cross-row dependencies.
+    # cross-row dependencies; results staged through VMEM scratch
+    # (interleaving the emission branch with the gathers serializes
+    # Mosaic's pipeline — measured 178 vs 112 ns/row).
     def ggroup(rg, _):
         r8 = pl.multiple_of(rg * 8, 8)
         li8 = li_ref[:, pl.ds(r8, 8), :].astype(jnp.int32)
@@ -72,7 +89,7 @@ def _win_kernel(WR: int, emit_ref, w10_ref, seg_ref, li_ref, v_ref,
             )
             w = x3_ref[0, pl.ds(base, WR), :]  # (WR, 128) window slab
             acc = jnp.zeros((8, 128), jnp.float32)
-            for s in range(WR):
+            for s in range(WRL):
                 op = jnp.broadcast_to(w[s : s + 1, :], (8, 128))
                 cand = jnp.take_along_axis(op, lo, axis=1)
                 acc = jnp.where(hi == s, cand, acc)
@@ -82,63 +99,38 @@ def _win_kernel(WR: int, emit_ref, w10_ref, seg_ref, li_ref, v_ref,
 
     jax.lax.fori_loop(0, CH // 8, ggroup, 0, unroll=False)
 
-    # Phase 2: sequential per-row accumulation with slice-end emissions.
-    def rgroup(rg, _):
-        r8 = pl.multiple_of(rg * 8, 8)
-        p8 = p_ref[:, pl.ds(r8, 8), :]
-        for j in range(8):
-            acc_ref[...] += p8[:, j, :]
-            dest = emit_ref[blk * CH + rg * 8 + j]
-
-            @pl.when(dest >= 0)
-            def _():
-                # Aligned 8-slice slab rewrite with a lane-select (Mosaic
-                # rejects unaligned dynamic stores).
-                d8 = pl.multiple_of(
-                    jax.lax.shift_right_logical(dest, 3) * 8, 8
-                )
-                cur = y_ref[:, pl.ds(d8, 8), :]
-                sel = (
-                    jax.lax.broadcasted_iota(jnp.int32, (8, 8, 128), 1)
-                    == (dest - d8)[None, None, None]
-                )
-                y_ref[:, pl.ds(d8, 8), :] = jnp.where(
-                    sel, acc_ref[...][:, None, :], cur
-                )
-                acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        return 0
-
-    jax.lax.fori_loop(0, CH // 8, rgroup, 0, unroll=False)
+    # Phase 2: per-group accumulation dispatched on the emission code
+    # (shared with the routed reduce kernels).
+    _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref)
 
 
 @functools.lru_cache(maxsize=None)
 def _win_call(S_rows: int, nslices: int, W: int, segw: int, G: int,
-              interpret: bool):
+              wrl: int, interpret: bool):
     grid = S_rows // CH
     WR = W // 128
     # G-offset-grid x table: G grids x (segw + 2) windows x 8 rows
     # (see formats/sell_window.py)
     xrows = G * 8 * (segw + 2)
     spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # emit, w10, seg_blk
+        num_scalar_prefetch=4,  # emit, w10, seg_blk, gemit
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (8, CH, 128), lambda i, e, w, s: (0, i, 0),
+                (8, CH, 128), lambda i, e, w, s, ge: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (8, CH, 128), lambda i, e, w, s: (0, i, 0),
+                (8, CH, 128), lambda i, e, w, s, ge: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, xrows, 128), lambda i, e, w, s: (s[i], 0, 0),
+                (1, xrows, 128), lambda i, e, w, s, ge: (s[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, nslices, 128), lambda i, e, w, s: (0, 0, 0),
+            (8, nslices, 128), lambda i, e, w, s, ge: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -147,13 +139,13 @@ def _win_call(S_rows: int, nslices: int, W: int, segw: int, G: int,
         ],
     )
 
-    def fn(emit, w10, seg_blk, li, vals, x3):
+    def fn(emit, w10, seg_blk, gemit, li, vals, x3):
         return pl.pallas_call(
-            functools.partial(_win_kernel, WR),
+            functools.partial(_win_kernel, WR, wrl),
             grid_spec=spec,
             out_shape=jax.ShapeDtypeStruct((8, nslices, 128), jnp.float32),
             interpret=interpret,
-        )(emit, w10, seg_blk, li, vals, x3)
+        )(emit, w10, seg_blk, gemit, li, vals, x3)
 
     return jax.jit(fn)
 
@@ -162,6 +154,7 @@ def window_reduce(
     emit: jax.Array,
     w10: jax.Array,
     seg_blk: jax.Array,
+    gemit: jax.Array,
     li: jax.Array,
     vals: jax.Array,
     x3: jax.Array,
@@ -169,19 +162,24 @@ def window_reduce(
     W: int,
     segw: int,
     G: int,
+    wrl: int | None = None,
 ) -> jax.Array:
     """One reduce call: per-slice lane sums for ``nslices`` slices.
 
-    emit/w10: (nr,) with nr a CH multiple; seg_blk: (nr // CH,);
-    li/vals: (8, nr, 128); x3: (n_segs, G*8*(segw+2), 128).
+    emit/w10: (nr,) with nr a CH multiple; seg_blk: (nr // CH,); gemit:
+    (nr // 8,) from group_emit_encode; li/vals: (8, nr, 128);
+    x3: (n_segs, G*8*(segw+2), 128); wrl: gather-candidate count
+    (defaults to the full W // 128).
     Returns (8, nslices, 128): slice sigma's 1024 lane sums at
     [:, sigma, :] (lane p of the slice at [p >> 7, sigma, p & 127]).
     """
     nr = emit.shape[0]
     if nr % CH:
         raise ValueError("row count must be a multiple of CH")
+    if wrl is None:
+        wrl = W // 128
     nsp = _round_up(max(nslices, 8), 8)
-    out = _win_call(nr, nsp, W, segw, G, use_interpret())(
-        emit, w10, seg_blk, li, vals, x3
+    out = _win_call(nr, nsp, W, segw, G, int(wrl), use_interpret())(
+        emit, w10, seg_blk, gemit, li, vals, x3
     )
     return out[:, :nslices]

@@ -157,8 +157,14 @@ def spmv(A, x, impl: str = "auto"):
     gather route, cvr_tpu.ops.spmv_routed) is used automatically for
     SellRouted inputs; the fused window kernel for SellWindow.
     """
+    from cvr_tpu.formats.dia import DiaMatrix
     from cvr_tpu.formats.sell_routed import SellRouted
     from cvr_tpu.formats.sell_window import SellWindow
+    from cvr_tpu.ops.spmv_dia import (
+        DiaDevice,
+        _jitted_spmv_dia,
+        to_device_dia,
+    )
     from cvr_tpu.ops.spmv_routed import (
         SellRoutedDevice,
         _jitted_spmv_routed,
@@ -170,6 +176,10 @@ def spmv(A, x, impl: str = "auto"):
         to_device_window,
     )
 
+    if isinstance(A, DiaMatrix):
+        A = to_device_dia(A)
+    if isinstance(A, DiaDevice):
+        return _jitted_spmv_dia()(A, jnp.asarray(x))
     if isinstance(A, SellRouted):
         A = to_device_routed(A)
     if isinstance(A, SellWindow):
@@ -207,8 +217,14 @@ def spmm(A, X, impl: str = "auto"):
     matrices: the XLA segment-sum SpMM can crash the TPU worker there).
     """
     from cvr_tpu.formats.bsr import BsrMatrix
+    from cvr_tpu.formats.dia import DiaMatrix
     from cvr_tpu.formats.sell_routed import SellRouted
     from cvr_tpu.formats.sell_window import SellWindow
+    from cvr_tpu.ops.spmv_dia import (
+        DiaDevice,
+        _jitted_spmm_dia,
+        to_device_dia,
+    )
     from cvr_tpu.ops.spmm_bsr import (
         BsrDevice,
         _jitted_spmm_bsr,
@@ -233,6 +249,10 @@ def spmm(A, X, impl: str = "auto"):
         from cvr_tpu.ops.pallas_bsr import _jitted_bsr_spmm_pallas
 
         return _jitted_bsr_spmm_pallas()(A, jnp.asarray(X))
+    if isinstance(A, DiaMatrix):
+        A = to_device_dia(A)
+    if isinstance(A, DiaDevice):
+        return _jitted_spmm_dia()(A, jnp.asarray(X))
     if isinstance(A, SellRouted):
         A = to_device_routed(A)
     if isinstance(A, SellWindow):

@@ -27,6 +27,7 @@ from cvr_tpu.ops.pallas_route import (
     apply_route_stream,
     chunksel,
     expand,
+    group_emit_encode,
     mid_to_device,
     reduce_m3_slices,
     route_to_device,
@@ -46,6 +47,7 @@ from cvr_tpu.ops.pallas_route import _mid_fused_call, use_interpret
         "vals_ss",
         "p3",
         "emit",
+        "gemit",
         "yroute",
         "extra_src",
         "extra_row",
@@ -64,6 +66,7 @@ class SellRoutedDevice:
     vals_ss: jax.Array
     p3: jax.Array
     emit: jax.Array
+    gemit: jax.Array
     yroute: RouteDevice
     ycall_rows: tuple
     extra_src: jax.Array
@@ -87,6 +90,7 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
         vals_ss=put(sr.vals_ss),
         p3=put(sr.p3),
         emit=put(sr.emit),
+        gemit=put(group_emit_encode(sr.emit)),
         yroute=route_to_device(sr.y_ra, device),
         ycall_rows=tuple(
             (int(a), int(b)) for a, b in np.asarray(sr.ycall_rows)
@@ -135,6 +139,7 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
         parts.append(
             reduce_m3_slices(
                 sd.emit[r0 : r0 + nr],
+                sd.gemit[r0 // 8 : (r0 + nr) // 8],
                 m,
                 m3,
                 sd.vals_ss[:, r0 : r0 + nr],

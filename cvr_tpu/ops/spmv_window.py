@@ -18,15 +18,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from cvr_tpu.formats.sell_window import SellWindow
-from cvr_tpu.ops.pallas_window import CH, YB, window_reduce
+from cvr_tpu.ops.pallas_route import route_to_device
+from cvr_tpu.ops.pallas_window import CH, YB, group_emit_encode, window_reduce
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["w10", "seg_blk", "li", "vals_ss", "emit"],
+    data_fields=["w10", "seg_blk", "li", "vals_ss", "emit", "gemit",
+                 "yroute"],
     meta_fields=[
         "shape", "W", "D", "G", "S_pad", "nslices", "segw", "n_segs",
-        "ycall_rows",
+        "ycall_rows", "wrl",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -36,6 +38,8 @@ class SellWindowDevice:
     li: jax.Array
     vals_ss: jax.Array
     emit: jax.Array
+    gemit: jax.Array
+    yroute: object  # RouteDevice for sigma-sorted packs, else None
     ycall_rows: tuple
     shape: tuple[int, int]
     W: int
@@ -45,6 +49,7 @@ class SellWindowDevice:
     nslices: int
     segw: int
     n_segs: int
+    wrl: int = 0
 
 
 def to_device_window(sw: SellWindow, device=None) -> SellWindowDevice:
@@ -55,6 +60,11 @@ def to_device_window(sw: SellWindow, device=None) -> SellWindowDevice:
         li=put(sw.li),
         vals_ss=put(sw.vals_ss),
         emit=put(sw.emit),
+        gemit=put(group_emit_encode(sw.emit)),
+        yroute=(
+            None if sw.y_ra is None
+            else route_to_device(sw.y_ra, device)
+        ),
         ycall_rows=tuple(
             (int(a), int(b)) for a, b in np.asarray(sw.ycall_rows)
         ),
@@ -66,6 +76,7 @@ def to_device_window(sw: SellWindow, device=None) -> SellWindowDevice:
         nslices=sw.nslices,
         segw=sw.segw,
         n_segs=sw.n_segs,
+        wrl=sw.wrl or (sw.W // 128),
     )
 
 
@@ -105,6 +116,7 @@ def spmv_window(sd: SellWindowDevice, x: jax.Array) -> jax.Array:
                 sd.emit[r0 : r0 + nr],
                 sd.w10[r0 : r0 + nr],
                 sd.seg_blk[r0 // CH : (r0 + nr) // CH],
+                sd.gemit[r0 // 8 : (r0 + nr) // 8],
                 sd.li[:, r0 : r0 + nr],
                 sd.vals_ss[:, r0 : r0 + nr],
                 x3,
@@ -112,6 +124,7 @@ def spmv_window(sd: SellWindowDevice, x: jax.Array) -> jax.Array:
                 sd.W,
                 sd.segw,
                 sd.G,
+                wrl=sd.wrl or None,
             )
         )
     ys = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
@@ -121,7 +134,14 @@ def spmv_window(sd: SellWindowDevice, x: jax.Array) -> jax.Array:
     flat = jnp.transpose(ys, (1, 0, 2)).reshape(sd.nslices, 1024)
     if sd.D > 1:
         flat = flat.reshape(sd.nslices, 1024 // sd.D, sd.D).sum(axis=2)
-    return flat.reshape(-1)[:nrows]
+    flat = flat.reshape(-1)
+    if sd.yroute is not None:
+        # sigma-sorted pack: rows are in block-local length order; the
+        # compiled y-route restores natural order at vector rate
+        from cvr_tpu.ops.pallas_route import apply_route_tpu
+
+        return apply_route_tpu(sd.yroute, flat)
+    return flat[:nrows]
 
 
 def spmm_window(sd: SellWindowDevice, X: jax.Array) -> jax.Array:

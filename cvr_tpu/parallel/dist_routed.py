@@ -39,6 +39,7 @@ from jax import shard_map
 from cvr_tpu.formats.csr import CSRMatrix
 from cvr_tpu.formats.sell import sell_pack
 from cvr_tpu.formats.sell_routed import RoutedForce, pack_routed
+from cvr_tpu.ops.pallas_route import group_emit_encode as _ge
 from cvr_tpu.ops.spmv_routed import SellRoutedDevice, spmv_routed
 from cvr_tpu.ops.pallas_route import RouteDevice, RouteMidDevice
 from cvr_tpu.parallel.dist import AXIS, make_mesh  # noqa: F401
@@ -177,6 +178,7 @@ def dist_routed_pack(
         "vals_ss": np.stack([sr.vals_ss for sr in srs]),
         "p3": np.stack([sr.p3 for sr in srs]),
         "emit": np.stack([sr.emit for sr in srs]),
+        "gemit": np.stack([_ge(sr.emit) for sr in srs]),
         "y_s1": np.stack([sr.y_ra["s1"] for sr in srs]),
         "y_s3": np.stack([sr.y_ra["s3"] for sr in srs]),
         "extra_src": np.stack([sr.extra_src.astype(np.int32) for sr in srs]),
@@ -258,6 +260,7 @@ def _local_device(dm: DistRoutedMatrix, pl: dict) -> SellRoutedDevice:
         vals_ss=pl["vals_ss"][0],
         p3=pl["p3"][0],
         emit=pl["emit"][0],
+        gemit=pl["gemit"][0],
         yroute=RouteDevice(
             s1=pl["y_s1"][0],
             mid=midp("ymid_", m["ymid_kind"], m["ymid_Tk"]),

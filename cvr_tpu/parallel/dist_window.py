@@ -34,7 +34,7 @@ from cvr_tpu.formats.sell_window import (
     WindowInfeasible,
     sell_pack_window,
 )
-from cvr_tpu.ops.pallas_window import CH, YB, window_reduce
+from cvr_tpu.ops.pallas_window import CH, YB, group_emit_encode, window_reduce
 from cvr_tpu.parallel.dist import AXIS
 from cvr_tpu.parallel.partition import partition_rows_by_nnz
 
@@ -60,6 +60,7 @@ class DistWindowMatrix:
     n_segs: int
     nslices_u: int
     rows_max: int
+    wrl: int
     mesh: Mesh
 
     @property
@@ -155,6 +156,7 @@ def dist_window_pack(
         "w10": np.stack([t[2] for t in spliced]),
         "emit": np.stack([t[3] for t in spliced]),
         "seg_blk": np.stack([t[4] for t in spliced]),
+        "gemit": np.stack([group_emit_encode(t[3]) for t in spliced]),
     }
     sharding = NamedSharding(mesh, P(AXIS))
     planes = {k: jax.device_put(v, sharding) for k, v in planes_np.items()}
@@ -187,6 +189,9 @@ def dist_window_pack(
         n_segs=s0.n_segs,
         nslices_u=nslices_u,
         rows_max=rows_max,
+        # shard_map needs one program: the candidate class is the max
+        # over shards (each shard's offsets stay within its own class)
+        wrl=max(sh.wrl or (sh.W // 128) for sh in shards),
         mesh=mesh,
     )
 
@@ -214,15 +219,15 @@ def dist_spmv_window(
         n_segs = dm.n_segs
         G = dm.G
 
-    def fn(vals, li, w10, emit, seg_blk, xs):
+    def fn(vals, li, w10, emit, seg_blk, gemit, xs):
         x_full = (
             jax.lax.all_gather(xs, AXIS, tiled=True)[:ncols]
             if x_sharded
             else xs
         )
         x3 = _x_table(_XGeom, x_full.astype(jnp.float32))
-        vals, li, w10, emit, seg_blk = (
-            vals[0], li[0], w10[0], emit[0], seg_blk[0]
+        vals, li, w10, emit, seg_blk, gemit = (
+            vals[0], li[0], w10[0], emit[0], seg_blk[0], gemit[0]
         )
         parts = []
         for j, (r0, nr) in enumerate(dm.ycall_rows):
@@ -235,6 +240,7 @@ def dist_spmv_window(
                     emit[r0 : r0 + nr],
                     w10[r0 : r0 + nr],
                     seg_blk[r0 // CH : (r0 + nr) // CH],
+                    gemit[r0 // 8 : (r0 + nr) // 8],
                     li[:, r0 : r0 + nr],
                     vals[:, r0 : r0 + nr],
                     x3,
@@ -242,6 +248,7 @@ def dist_spmv_window(
                     dm.W,
                     dm.segw,
                     dm.G,
+                    wrl=dm.wrl,
                 )
             )
         ys = (
@@ -257,7 +264,7 @@ def dist_spmv_window(
     mapped = shard_map(
         fn,
         mesh=dm.mesh,
-        in_specs=(P(AXIS),) * 5 + (x_spec,),
+        in_specs=(P(AXIS),) * 6 + (x_spec,),
         out_specs=P(AXIS),
         # pallas_call's out_shape carries no vma annotation; per-shard
         # kernel outputs are trivially device-varying
@@ -269,6 +276,7 @@ def dist_spmv_window(
         dm.planes["w10"],
         dm.planes["emit"],
         dm.planes["seg_blk"],
+        dm.planes["gemit"],
         x,
     )
     return jnp.take(y_stacked.reshape(-1), dm.unpad_index, axis=0)

@@ -418,9 +418,13 @@ int cvr_sell_fill(int64_t G, int64_t C, const int64_t* rowptr,
 // (its nnz cut into D chunks of L = ceil(len/D)), a slice covers C/D
 // rows, and the per-plane-row column spread shrinks ~D-fold — the knob
 // that buys W = 1024 (8 gathers) instead of 2048 (16) on banded inputs.
+// perm maps plane position p (slice p / rps, lane block p % rps) to the
+// CSR row stored there — identity for the natural-order pack, a
+// block-local length sort for the sigma-sorted pack (road-class inputs).
 int cvr_window_minmax(int64_t nrows, int64_t C, int64_t D,
                       const int64_t* rowptr, const int32_t* csr_cols,
                       const int64_t* slice_offsets, int64_t S,
+                      const int32_t* perm,
                       int32_t* wmin, int32_t* wmax) {
   const int64_t rps = C / D;  // rows per slice
   const int64_t nslices = (nrows + rps - 1) / rps;
@@ -432,7 +436,8 @@ int cvr_window_minmax(int64_t nrows, int64_t C, int64_t D,
     int32_t* hi = wmax + base;
     for (int64_t j = 0; j < width; j++) { lo[j] = INT32_MAX; hi[j] = -1; }
     int64_t rend = std::min(nrows, (i + 1) * rps);
-    for (int64_t r = i * rps; r < rend; r++) {
+    for (int64_t p = i * rps; p < rend; p++) {
+      int64_t r = perm ? perm[p] : p;
       int64_t src = rowptr[r];
       int64_t len = rowptr[r + 1] - src;
       if (len == 0) continue;
@@ -460,6 +465,7 @@ int cvr_window_fill_ss(int64_t nrows, int64_t C, int64_t D,
                        const float* csr_vals,
                        const int64_t* slice_offsets, const int64_t* rmap,
                        const int32_t* base_col, int64_t S_pad,
+                       const int32_t* perm,
                        float* vals_ss, int16_t* li_ss) {
   const int64_t rps = C / D;
   const int64_t nslices = (nrows + rps - 1) / rps;
@@ -467,12 +473,13 @@ int cvr_window_fill_ss(int64_t nrows, int64_t C, int64_t D,
   for (int64_t i = 0; i < nslices; i++) {
     int64_t base = slice_offsets[i];
     int64_t rend = std::min(nrows, (i + 1) * rps);
-    for (int64_t r = i * rps; r < rend; r++) {
+    for (int64_t p = i * rps; p < rend; p++) {
+      int64_t r = perm ? perm[p] : p;
       int64_t src = rowptr[r];
       int64_t len = rowptr[r + 1] - src;
       if (len == 0) continue;
       int64_t L = (len + D - 1) / D;
-      int64_t lane0 = (r - i * rps) * D;
+      int64_t lane0 = (p - i * rps) * D;
       for (int64_t j = 0; j < len; j++) {
         int64_t lane = lane0 + j / L;
         int64_t slot = j % L;
@@ -1664,6 +1671,36 @@ int cvr_mid_planes_ss(int64_t T, const int32_t* mid,
   return 0;
 }
 
-int cvr_version() { return 10; }
+// DIA offset detection: mark every distinct diagonal (col - row) in a
+// flag array of length nrows + ncols (index off + nrows).
+int cvr_dia_offsets(int64_t nrows, int64_t nnz, const int64_t* rowptr,
+                    const int32_t* cols, uint8_t* flags) {
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < nrows; r++) {
+    for (int64_t i = rowptr[r]; i < rowptr[r + 1]; i++)
+      flags[(int64_t)cols[i] - r + nrows] = 1;
+  }
+  return 0;
+}
+
+// DIA band fill (formats/dia.py): bands[k, r] = A[r, r + offsets[k]].
+// One streaming pass over CSR; the diagonal index per element comes from
+// a binary search over the (tiny, sorted) offsets table.
+int cvr_dia_fill(int64_t nrows, int64_t nnz, const int64_t* rowptr,
+                 const int32_t* cols, const float* vals, int64_t nd,
+                 const int64_t* offsets, float* bands) {
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < nrows; r++) {
+    for (int64_t i = rowptr[r]; i < rowptr[r + 1]; i++) {
+      int64_t off = (int64_t)cols[i] - r;
+      const int64_t* it =
+          std::lower_bound(offsets, offsets + nd, off);
+      bands[(int64_t)(it - offsets) * nrows + r] = vals[i];
+    }
+  }
+  return 0;
+}
+
+int cvr_version() { return 12; }
 
 }  // extern "C"

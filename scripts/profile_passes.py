@@ -76,6 +76,30 @@ def main() -> int:
     def p_csel(x):
         return PR.chunksel(p_m1(x), sd.mid.csel, sd.mid.Tk)
 
+    def p_reduce(x):
+        m = p_csel(x)
+        parts = []
+        for j, (r0, nr) in enumerate(sd.ycall_rows):
+            nsl = min(PR.YB, sd.nslices - j * PR.YB)
+            if nr == 0:
+                parts.append(jnp.zeros((8, nsl, 128), jnp.float32))
+                continue
+            parts.append(
+                PR.reduce_m3_slices(
+                    sd.emit[r0 : r0 + nr],
+                    sd.gemit[r0 // 8 : (r0 + nr) // 8],
+                    m,
+                    sd.mid.m3,
+                    sd.vals_ss[:, r0 : r0 + nr],
+                    sd.p3[:, r0 : r0 + nr],
+                    nsl,
+                    ofs=r0 // PR.CH,
+                )
+            )
+        return (
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        )
+
     def p_full(x):
         return spmv_routed(sd, x)
 
@@ -83,7 +107,8 @@ def main() -> int:
         ("expand (+stage1)", p_expand),
         ("+ middle M1", p_m1),
         ("+ chunk select", p_csel),
-        ("+ reduce(M3,st3) + y-route = full", p_full),
+        ("+ reduce(M3,st3)", p_reduce),
+        ("+ y-route = full", p_full),
     ]
     if sd.mid.kind != "rec":
         prefixes = [prefixes[0], prefixes[-1]]

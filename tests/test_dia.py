@@ -1,0 +1,138 @@
+"""DIA format: banded matrices as shifted streaming FMAs (no gathers).
+
+Pack round-trip, SpMV/SpMM vs the f64 golden, the infeasibility gate,
+and the pack_auto dispatch (reference analogue of the golden check:
+spmv.cpp:1916-1938; CVR's lockstep-streaming best case on regular rows).
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_powerlaw_coo, make_random_coo
+
+from cvr_tpu.bench.synthetic import banded_matrix
+from cvr_tpu.formats.dia import DiaInfeasible, DiaMatrix, dia_pack
+from cvr_tpu.ops.spmv_dia import (
+    spmm_dia,
+    spmv_dia,
+    to_device_dia,
+)
+from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
+
+
+def test_dia_banded_spmv_spmm():
+    coo = banded_matrix(n=4000, bandwidth=11, seed=2)
+    csr = coo.to_csr()
+    dm = dia_pack(csr)
+    assert dm.nd == 11
+    assert csr.nnz / dm.padded_nnz > 0.9
+    x = np.random.default_rng(0).standard_normal(4000).astype(np.float32)
+    y = np.asarray(spmv_dia(to_device_dia(dm), x))
+    ok, nbad, mx = verify(
+        y, spmv_golden_numpy(csr, x),
+        rtol=1e-6, row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok, (nbad, mx)
+    X = np.random.default_rng(1).standard_normal((4000, 6)).astype(np.float32)
+    Y = np.asarray(spmm_dia(to_device_dia(dm), X))
+    m64 = coo.to_scipy().astype(np.float64)
+    scale = abs(m64) @ np.abs(X) + 1e-30
+    assert (np.abs(Y - m64 @ X) / scale).max() < 1e-6
+
+
+def test_dia_asymmetric_offsets_and_roundtrip(tmp_path):
+    # only super-diagonals, including a far one
+    n = 600
+    rows, cols, vals = [], [], []
+    for off in (0, 3, 250):
+        r = np.arange(0, n - off)
+        rows.append(r); cols.append(r + off)
+        vals.append(np.random.default_rng(off).standard_normal(r.shape[0]))
+    from cvr_tpu.formats.coo import COOMatrix
+    coo = COOMatrix(
+        rows=np.concatenate(rows).astype(np.int32),
+        cols=np.concatenate(cols).astype(np.int32),
+        vals=np.concatenate(vals).astype(np.float32),
+        shape=(n, n),
+    )
+    csr = coo.to_csr()
+    dm = dia_pack(csr)
+    assert list(dm.offsets) == [0, 3, 250]
+    p = tmp_path / "dia.npz"
+    dm.save(p)
+    dm2 = DiaMatrix.load(p)
+    x = np.random.default_rng(9).standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_dia(to_device_dia(dm2), x))
+    ok, nbad, mx = verify(
+        y, spmv_golden_numpy(csr, x),
+        rtol=1e-6, row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok, (nbad, mx)
+
+
+def test_dia_rectangular():
+    # diagonals of a wide rectangular matrix
+    n, m = 500, 800
+    r = np.arange(n, dtype=np.int32)
+    from cvr_tpu.formats.coo import COOMatrix
+    coo = COOMatrix(
+        rows=np.concatenate([r, r]).astype(np.int32),
+        cols=np.concatenate([r, r + 300]).astype(np.int32),
+        vals=np.random.default_rng(0)
+        .standard_normal(2 * n)
+        .astype(np.float32),
+        shape=(n, m),
+    )
+    csr = coo.to_csr()
+    dm = dia_pack(csr)
+    x = np.random.default_rng(1).standard_normal(m).astype(np.float32)
+    y = np.asarray(spmv_dia(to_device_dia(dm), x))
+    ok, nbad, mx = verify(
+        y, spmv_golden_numpy(csr, x),
+        rtol=1e-6, row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok, (nbad, mx)
+
+
+def test_dia_gate_rejects_scattered():
+    with pytest.raises(DiaInfeasible):
+        dia_pack(make_random_coo(800, 800, density=0.02, seed=1).to_csr())
+    with pytest.raises(DiaInfeasible):
+        dia_pack(make_powerlaw_coo(2000, 2000, seed=2).to_csr())
+
+
+def test_pack_auto_picks_dia():
+    from cvr_tpu.formats import pack_auto
+
+    packed = pack_auto(banded_matrix(n=3000, bandwidth=7, seed=1).to_csr())
+    assert isinstance(packed, DiaMatrix)
+
+
+def test_dia_dispatchers():
+    from cvr_tpu.ops.spmv import spmm, spmv
+
+    coo = banded_matrix(n=2000, bandwidth=5, seed=4)
+    csr = coo.to_csr()
+    dm = dia_pack(csr)
+    x = np.random.default_rng(2).standard_normal(2000).astype(np.float32)
+    y = np.asarray(spmv(dm, x))
+    ok, _, _ = verify(
+        y, spmv_golden_numpy(csr, x),
+        rtol=1e-6, row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok
+    X = np.random.default_rng(3).standard_normal((2000, 3)).astype(np.float32)
+    Y = np.asarray(spmm(dm, X))
+    m64 = coo.to_scipy().astype(np.float64)
+    scale = abs(m64) @ np.abs(X) + 1e-30
+    assert (np.abs(Y - m64 @ X) / scale).max() < 1e-6
+
+
+def test_harness_dia_impl():
+    from cvr_tpu.bench.harness import run_spmv_benchmark
+
+    coo = banded_matrix(n=3000, bandwidth=9, seed=5)
+    r = run_spmv_benchmark(coo, name="band", impl="dia", iters=3)
+    assert r.verified
+    r2 = run_spmv_benchmark(coo, name="band", impl="auto", iters=3)
+    assert r2.verified

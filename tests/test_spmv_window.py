@@ -130,10 +130,21 @@ def test_window_infeasible_powerlaw():
 
 
 def test_pack_auto_dispatch():
+    from cvr_tpu.formats.dia import DiaMatrix
+
+    # strictly banded -> DIA (pure streaming beats every gather format)
     assert isinstance(
         pack_auto(banded_matrix(n=20000, bandwidth=5, seed=1).to_csr()),
+        DiaMatrix,
+    )
+    # local but not diagonal (random offsets in a band) -> SELL-W
+    from cvr_tpu.bench.synthetic import rgg_like
+
+    assert isinstance(
+        pack_auto(rgg_like(n=20000, reach=48, seed=3).to_csr()),
         SellWindow,
     )
+    # power-law -> routed
     assert isinstance(
         pack_auto(rmat_matrix(scale=14, edge_factor=8, seed=2).to_csr()),
         SellRouted,
