@@ -136,3 +136,24 @@ def test_harness_dia_impl():
     assert r.verified
     r2 = run_spmv_benchmark(coo, name="band", impl="auto", iters=3)
     assert r2.verified
+
+
+def test_dist_dia():
+    """Row-sharded DIA over the 8-device mesh, replicated and sharded x
+    (uneven ncols)."""
+    import jax
+
+    from cvr_tpu.parallel.dist import make_mesh
+    from cvr_tpu.parallel.dist_dia import dist_dia_pack, dist_spmv_dia
+
+    coo = banded_matrix(n=3001, bandwidth=9, seed=7)
+    csr = coo.to_csr()
+    mesh = make_mesh(8)
+    dm = dist_dia_pack(csr, mesh)
+    x = np.random.default_rng(4).standard_normal(3001).astype(np.float32)
+    gold = spmv_golden_numpy(csr, x)
+    rs = spmv_row_scale(csr, x)
+    for x_sharded in (False, True):
+        y = np.asarray(dist_spmv_dia(dm, x, x_sharded=x_sharded))
+        ok, nbad, mx = verify(y, gold, rtol=1e-6, row_scale=rs)
+        assert ok, (x_sharded, nbad, mx)
