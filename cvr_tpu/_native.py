@@ -146,6 +146,10 @@ def get_lib():
     _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.cvr_dia_offsets.restype = ctypes.c_int
     lib.cvr_dia_offsets.argtypes = [_i64, _i64, _i64p, _i32p, _u8p]
+    lib.cvr_route_planes_ss2.restype = ctypes.c_int
+    lib.cvr_route_planes_ss2.argtypes = [
+        _i64, _i32p, _i32p, _i64, _i64, _i16p, _i32p, _i16p,
+    ]
     lib.cvr_dia_fill.restype = ctypes.c_int
     lib.cvr_dia_fill.argtypes = [
         _i64, _i64, _i64p, _i32p, _f32p, _i64, _i64p, _f32p,
@@ -552,6 +556,23 @@ def mid_planes_ss_native(mid, T: int, colors_rows):
     if rc != 0:
         raise NativeError(native_error(lib))
     return m1, csel, m3
+
+
+def route_planes_ss_native(perm, colors, T: int, Tp: int):
+    """Stage planes straight in sublane-split layout (padded tiles are
+    identity); returns (s1_ss, mid, s3_ss)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    s1 = np.zeros((8, Tp, 128), dtype=np.int16)
+    mid = np.empty((1024, T), dtype=np.int32)
+    s3 = np.zeros((8, Tp, 128), dtype=np.int16)
+    rc = lib.cvr_route_planes_ss2(
+        perm.shape[0], perm, colors, T, Tp, s1, mid, s3
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return s1, mid, s3
 
 
 def dia_offsets_native(rowptr, cols, nrows: int, ncols: int):

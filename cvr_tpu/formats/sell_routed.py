@@ -418,11 +418,9 @@ def _pack_routed_tail(
         used = np.zeros(Ty * TILE, dtype=bool)
         used[first_pos] = True
         ypern[nrows:] = np.flatnonzero(~used)[: Ty * TILE - nrows]
-        from cvr_tpu.ops.pallas_route import route_arrays
+        from cvr_tpu.ops.pallas_route import route_arrays_from_perm
 
-        y_ra = route_arrays(
-            plan_route(ypern, n=nrows_out, tile_multiple=1024)
-        )
+        y_ra = route_arrays_from_perm(ypern, n=nrows_out)
         extra = (~is_first) & (seg_row < nrows)
         extra_pos = np.flatnonzero(extra).astype(np.int64)  # y_sorted flat
         # remap to the padded stream layout (8, Tp, 128): position

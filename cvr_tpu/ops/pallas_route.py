@@ -1071,6 +1071,44 @@ def middle_planes_from(mid_arr: np.ndarray, T: int) -> dict:
     return {"kind": "brute", "mid": mid_ss, "Tk": K}
 
 
+def route_arrays_from_perm(
+    perm, n: int | None = None, tile_multiple: int = 1024
+) -> dict:
+    """Device-ready route arrays straight from a permutation — the
+    coloring, the ss-layout stage planes, and the middle planes in one
+    native pass each (no logical-plane detour).  Numpy fallback: the
+    plan_route + route_arrays path."""
+    from cvr_tpu import _native
+    from cvr_tpu.ops.route import TILE as RTILE, plan_route
+
+    if not (
+        _native.available()
+        and hasattr(_native, "route_planes_ss_native")
+    ):
+        return route_arrays(plan_route(perm, n=n, tile_multiple=tile_multiple))
+    perm = np.asarray(perm, dtype=np.int64)
+    n = int(perm.shape[0]) if n is None else n
+    N = perm.shape[0]
+    T = max(1, -(-N // RTILE))
+    T = -(-T // tile_multiple) * tile_multiple
+    full = np.arange(T * RTILE, dtype=np.int64)
+    full[:N] = perm
+    perm32 = full.astype(np.int32)
+    colors = _native.euler_color_perm_native(perm32, T)
+    Tp = _round_up(T, 128)
+    s1_ss, mid, s3_ss = _native.route_planes_ss_native(
+        perm32, colors, T, Tp
+    )
+    return {
+        "s1": s1_ss,
+        "mid_planes": middle_planes_from(mid, T),
+        "s3": s3_ss,
+        "T": T,
+        "Tp": Tp,
+        "n": n,
+    }
+
+
 def route_arrays(plan) -> dict:
     """Device-ready sublane-split int16 index planes for a RoutePlan."""
     T = plan.n_tiles

@@ -1463,6 +1463,33 @@ static int bvn_color_row(int64_t T, int64_t tk, const int32_t* mrow,
   return 0;
 }
 
+// Full route planes in sublane-split device layout (the y-route path):
+// s1/s3 for Tp >= T tiles (padded tiles identity), mid logical (1024, T).
+int cvr_route_planes_ss2(int64_t n, const int32_t* perm,
+                         const int32_t* colors, int64_t T, int64_t Tp,
+                         int16_t* s1_ss, int32_t* mid, int16_t* s3_ss) {
+  if (n != T * 1024) return fail("perm length must be T*1024");
+  for (int64_t i = 0; i < n; i++) {
+    int32_t p = perm[i];
+    int32_t q = colors[i];
+    int64_t a = (int64_t)(p >> 10);
+    int64_t d = i >> 10;
+    int64_t o = i & 1023;
+    s1_ss[((int64_t)(q >> 7) * Tp + a) * 128 + (q & 127)] =
+        (int16_t)(p & 1023);
+    mid[(int64_t)q * T + d] = (int32_t)a;
+    s3_ss[((o >> 7) * Tp + d) * 128 + (o & 127)] = (int16_t)q;
+  }
+  for (int64_t t = T; t < Tp; t++) {
+    for (int64_t q = 0; q < 1024; q++) {
+      int64_t at = ((q >> 7) * Tp + t) * 128 + (q & 127);
+      s1_ss[at] = (int16_t)q;
+      s3_ss[at] = (int16_t)q;
+    }
+  }
+  return 0;
+}
+
 // Capacitated per-row colorings for the recursive middle stage.
 // mid is (1024, T) int32; for row q, edge d has src chunk mid[q,T]>>10 and
 // dst chunk d>>10.  Aggregate into a tk x tk capacity matrix, split
@@ -1471,7 +1498,9 @@ static int bvn_color_row(int64_t T, int64_t tk, const int32_t* mrow,
 int cvr_color_rows_cap(int64_t T, int64_t tk, const int32_t* mid,
                        int32_t* color_out) {
   const int64_t np = tk * tk;
-  if (tk <= 24) {
+  // BvN measured: 1.2 s at Tk=25, 1.9 s at Tk=40 (extraction counts stay
+  // near #entries in practice); capacitated Euler above the cutoff
+  if (tk <= 64) {
     // BvN wins while #entries (<= tk^2) x augment cost stays small
     std::vector<int32_t> cap((size_t)np), cur((size_t)np);
     std::vector<int64_t> off((size_t)np + 1);
