@@ -1,4 +1,17 @@
 from cvr_tpu.models.pagerank import pagerank
-from cvr_tpu.models.solvers import conjugate_gradient, power_iteration
+from cvr_tpu.models.solvers import (
+    bicgstab,
+    conjugate_gradient,
+    jacobi,
+    power_iteration,
+    subspace_iteration,
+)
 
-__all__ = ["pagerank", "conjugate_gradient", "power_iteration"]
+__all__ = [
+    "pagerank",
+    "bicgstab",
+    "conjugate_gradient",
+    "jacobi",
+    "power_iteration",
+    "subspace_iteration",
+]

@@ -77,3 +77,117 @@ def power_iteration(
         (v0, jnp.float32(0.0), jnp.float32(jnp.inf), jnp.int32(0)),
     )
     return lam, v, iters
+
+
+def bicgstab(
+    matvec,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+):
+    """Solve A x = b for general (nonsymmetric) A via BiCGSTAB.
+
+    The nonsymmetric companion to conjugate_gradient — the standard
+    solver for the reference's routing/circuit matrices (CVR paper
+    Table 2), needing only A @ v products (two per iteration).
+    Returns (x, iterations, relative residual norm).
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    r_hat = r  # shadow residual
+    b_norm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    rho = jnp.vdot(r_hat, r)
+    p = r
+
+    def cond(state):
+        _, r, _, _, _, it = state
+        return jnp.logical_and(
+            jnp.linalg.norm(r) / b_norm > tol, it < max_iters
+        )
+
+    def body(state):
+        x, r, p, rho, _, it = state
+        v = matvec(p)
+        alpha = rho / jnp.vdot(r_hat, v)
+        s = r - alpha * v
+        t = matvec(s)
+        omega = jnp.vdot(t, s) / jnp.maximum(
+            jnp.vdot(t, t), 1e-30
+        )
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        rho_new = jnp.vdot(r_hat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        return x, r, p, rho_new, omega, it + 1
+
+    x, r, p, rho, omega, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, rho, jnp.float32(1.0), jnp.int32(0))
+    )
+    return x, iters, jnp.linalg.norm(r) / b_norm
+
+
+def jacobi(
+    matvec,
+    diag: jax.Array,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    omega: float = 1.0,
+    tol: float = 1e-6,
+    max_iters: int = 1000,
+):
+    """(Weighted) Jacobi iteration x <- x + omega D^-1 (b - A x).
+
+    The classic smoother for diagonally dominant stencil systems (the
+    reference's banded/EngSci suite) — one SpMV plus elementwise work
+    per sweep, a perfect fit for the DIA streaming path.
+    Returns (x, iterations, relative residual norm).
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    dinv = omega / diag
+    b_norm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+
+    def cond(state):
+        _, rn, it = state
+        return jnp.logical_and(rn / b_norm > tol, it < max_iters)
+
+    def body(state):
+        x, _, it = state
+        r = b - matvec(x)
+        x = x + dinv * r
+        return x, jnp.linalg.norm(r), it + 1
+
+    x, rn, iters = jax.lax.while_loop(
+        cond, body, (x, jnp.float32(jnp.inf), jnp.int32(0))
+    )
+    return x, iters, rn / b_norm
+
+
+def subspace_iteration(
+    matmat,
+    n: int,
+    k: int = 8,
+    iters: int = 30,
+    seed: int = 0,
+):
+    """Top-k eigenpairs of symmetric A by block power (subspace)
+    iteration — the multi-RHS workload that drives the SpMM paths
+    (BASELINE.json config 4: "SpMM to engage the MXU").
+
+    matmat: V [n, k] -> A @ V.  Returns (eigenvalues [k], V [n, k]).
+    """
+    V = jax.random.normal(jax.random.PRNGKey(seed), (n, k), jnp.float32)
+    V, _ = jnp.linalg.qr(V)
+
+    def body(_, V):
+        W = matmat(V)
+        V, _ = jnp.linalg.qr(W)
+        return V
+
+    V = jax.lax.fori_loop(0, iters, body, V)
+    W = matmat(V)
+    # Rayleigh-Ritz on the subspace
+    H = V.T @ W
+    evals, Q = jnp.linalg.eigh((H + H.T) / 2)
+    return evals[::-1], V @ Q[:, ::-1]
