@@ -5,6 +5,7 @@ On a real v5e/v5p slice, run ONE copy of this script per host:
 
   python scripts/multihost_spmv.py --coordinator <host0>:8476 \
       --num-processes 4 --process-id $HOST_ID [--mtx file.mtx] [--iters 100]
+      [--impl routed|window|dia|xla]
 
 Each host calls jax.distributed.initialize, the global mesh spans every
 chip in the slice, the matrix is row-partitioned by nnz across the global
@@ -32,6 +33,11 @@ def main() -> int:
     ap.add_argument("--scale", type=int, default=18, help="rmat scale if no --mtx")
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--x-sharded", action="store_true", default=True)
+    ap.add_argument(
+        "--impl", default="routed",
+        choices=["routed", "window", "dia", "xla"],
+        help="per-shard kernel (routed = the flagship Pallas pipeline)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -67,14 +73,40 @@ def main() -> int:
 
     mesh = make_mesh()
     t0 = time.perf_counter()
-    dm = dist_sell_pack(csr, mesh)
+    if args.impl == "routed":
+        from cvr_tpu.parallel.dist_routed import (
+            dist_routed_pack,
+            dist_spmv_routed,
+        )
+
+        dm = dist_routed_pack(csr, mesh)
+        fn = dist_spmv_routed
+    elif args.impl == "window":
+        from cvr_tpu.parallel.dist_window import (
+            dist_spmv_window,
+            dist_window_pack,
+        )
+
+        dm = dist_window_pack(csr, mesh)
+        fn = dist_spmv_window
+    elif args.impl == "dia":
+        from cvr_tpu.parallel.dist_dia import dist_dia_pack, dist_spmv_dia
+
+        dm = dist_dia_pack(csr, mesh)
+        fn = dist_spmv_dia
+    else:
+        dm = dist_sell_pack(csr, mesh)
+        fn = dist_spmv
     preproc = time.perf_counter() - t0
 
     x = np.ones(coo.shape[1], dtype=np.float32)
+    D = mesh.devices.size
+    ncp = -(-coo.shape[1] // D) * D
     xs = jax.device_put(
-        x, NamedSharding(mesh, P(AXIS) if args.x_sharded else P(None))
+        np.pad(x, (0, ncp - coo.shape[1])) if args.x_sharded else x,
+        NamedSharding(mesh, P(AXIS) if args.x_sharded else P(None)),
     )
-    step = jax.jit(lambda v: dist_spmv(dm, v, x_sharded=args.x_sharded))
+    step = jax.jit(lambda v: fn(dm, v, x_sharded=args.x_sharded))
     jax.block_until_ready(step(xs))  # compile
 
     t0 = time.perf_counter()
