@@ -32,7 +32,6 @@ from cvr_tpu.ops.pallas_route import (
     reduce_m3_slices,
     route_to_device,
     stream_to_mstream,
-    tileperm_ss,
 )
 from cvr_tpu.ops.pallas_route import _mid_fused_call, use_interpret
 

@@ -143,3 +143,25 @@ def test_cli_compare_on_fixture(capsys):
     for impl in ("csr", "sell-xla", "sell-routed", "sell-window"):
         assert f"[threads: {impl}]" in out or f"[{impl}] failed" in out
     assert "Best:" in out
+
+
+def test_skew_symmetric_fixture():
+    """skew-symmetric storage: the reader must mirror with negation."""
+    coo = read_matrix_market(FIX / "skew180.mtx")
+    d = np.asarray(coo.to_scipy().todense())
+    assert np.allclose(d, -d.T)
+    assert np.allclose(np.diag(d), 0)
+    ref = sp.coo_matrix(_scipy_golden("skew180.mtx"))
+    assert np.allclose(d, ref.todense(), rtol=1e-6)
+    # end-to-end through pack_auto + spmv
+    from cvr_tpu.formats import pack_auto
+    from cvr_tpu.ops.spmv import spmv
+
+    csr = coo.to_csr()
+    x = np.random.default_rng(0).standard_normal(180).astype(np.float32)
+    y = np.asarray(spmv(pack_auto(csr), x))
+    ok, nbad, mx = verify(
+        y, spmv_golden_numpy(csr, x),
+        rtol=1e-6, row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok, (nbad, mx)
