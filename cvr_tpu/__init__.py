@@ -27,6 +27,7 @@ __version__ = "0.1.0"
 from cvr_tpu.formats import pack_auto
 from cvr_tpu.formats.bsr import BsrInfeasible, BsrMatrix, bsr_pack
 from cvr_tpu.formats.coo import COOMatrix
+from cvr_tpu.formats.dia import DiaInfeasible, DiaMatrix, dia_pack
 from cvr_tpu.formats.csr import CSRMatrix
 from cvr_tpu.formats.sell import SellMatrix, sell_pack
 from cvr_tpu.formats.sell_routed import SellRouted, sell_pack_routed
@@ -45,6 +46,9 @@ __all__ = [
     "bsr_pack",
     "COOMatrix",
     "CSRMatrix",
+    "DiaInfeasible",
+    "DiaMatrix",
+    "dia_pack",
     "SellMatrix",
     "sell_pack",
     "SellRouted",

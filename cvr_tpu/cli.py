@@ -3,10 +3,11 @@
 Reproduces the reference's UX — ``./spmv.cvr <file.mtx> <threads> <iters>``
 (spmv.cpp:1693-1712, README.md:26-28) — as subcommands:
 
-  python -m cvr_tpu.cli spmv <file.mtx> [--iters N] [--format sell|csr]
-                             [--rhs K] [--c C] [--sigma S] [--no-verify]
-                             [--save-packed out.npz] [--load-packed in.npz]
-  python -m cvr_tpu.cli compare <file.mtx> [--iters N]
+  python -m cvr_tpu.cli spmv <file.mtx> [--iters N]
+      [--format auto|dia|routed|window|sell|csr|bsr] [--rhs K] [--c C]
+      [--sigma S] [--no-verify]
+      [--save-packed out.npz] [--load-packed in.npz]
+  python -m cvr_tpu.cli compare <file.mtx> [--iters N] [--rhs K]
   python -m cvr_tpu.cli info <file.mtx>
 
 ``compare`` runs every implementation on the same matrix and prints the
