@@ -88,6 +88,10 @@ def cmd_spmv(args) -> int:
             from cvr_tpu.formats.sell_window import sell_pack_window
 
             sell_pack_window(coo.to_csr()).save(args.save_packed)
+        elif impl == "dia":
+            from cvr_tpu.formats.dia import dia_pack
+
+            dia_pack(coo.to_csr()).save(args.save_packed)
         elif impl == "auto":
             from cvr_tpu.formats import pack_auto
             from cvr_tpu.formats.sell_routed import SellRouted, save_routed

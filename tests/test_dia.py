@@ -157,3 +157,28 @@ def test_dist_dia():
         y = np.asarray(dist_spmv_dia(dm, x, x_sharded=x_sharded))
         ok, nbad, mx = verify(y, gold, rtol=1e-6, row_scale=rs)
         assert ok, (x_sharded, nbad, mx)
+
+
+def test_cli_dia_save_load(tmp_path, capsys):
+    from pathlib import Path
+
+    from cvr_tpu.cli import main
+    from cvr_tpu.io.mmio import write_matrix_market
+
+    coo = banded_matrix(n=1200, bandwidth=5, seed=6)
+    mtx = tmp_path / "band.mtx"
+    write_matrix_market(mtx, coo)
+    packed = tmp_path / "band_dia.npz"
+    rc = main([
+        "spmv", str(mtx), "--format", "dia", "--iters", "2",
+        "--save-packed", str(packed),
+    ])
+    assert rc == 0 and packed.exists()
+    capsys.readouterr()
+    rc = main([
+        "spmv", str(mtx), "--format", "auto", "--iters", "2",
+        "--load-packed", str(packed),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Verification: PASS" in out
