@@ -1498,8 +1498,9 @@ int cvr_route_planes_ss2(int64_t n, const int32_t* perm,
 int cvr_color_rows_cap(int64_t T, int64_t tk, const int32_t* mid,
                        int32_t* color_out) {
   const int64_t np = tk * tk;
-  // BvN measured: 1.2 s at Tk=25, 1.9 s at Tk=40 (extraction counts stay
-  // near #entries in practice); capacitated Euler above the cutoff
+  // BvN measured: 1.2 s at Tk=25, 1.9 s at Tk=40; at Tk=90 it matches
+  // the capacitated path (~26 s — extraction x re-augment cost catches
+  // up), so the cutoff stays where BvN clearly wins
   if (tk <= 64) {
     // BvN wins while #entries (<= tk^2) x augment cost stays small
     std::vector<int32_t> cap((size_t)np), cur((size_t)np);
