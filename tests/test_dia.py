@@ -182,3 +182,20 @@ def test_cli_dia_save_load(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Verification: PASS" in out
+
+
+def test_dia_xla_and_pallas_agree():
+    from cvr_tpu.ops.pallas_dia import spmv_dia_pallas
+    from cvr_tpu.ops.spmv_dia import spmv_dia_xla
+
+    coo = banded_matrix(n=9000, bandwidth=13, seed=8)
+    csr = coo.to_csr()
+    sd = to_device_dia(dia_pack(csr))
+    x = np.random.default_rng(2).standard_normal(9000).astype(np.float32)
+    gold = spmv_golden_numpy(csr, x)
+    rs = spmv_row_scale(csr, x)
+    for fn in (spmv_dia_pallas, spmv_dia_xla):
+        ok, nbad, mx = verify(
+            np.asarray(fn(sd, x)), gold, rtol=1e-6, row_scale=rs
+        )
+        assert ok, (fn.__name__, nbad, mx)
