@@ -14,6 +14,11 @@ out of the loop nor dead-code it; per-pass time is the difference of
 consecutive prefix slopes.
 
 Usage: python scripts/profile_passes.py [--scale 20] [--edge-factor 6]
+       [--impl routed|window|dia] [--matrix rmat|banded]
+
+--impl routed profiles the 5-pass pipeline; window/dia are single fused
+kernels, so their profile is [x-table prep, full kernel] — the per-
+solution entries of the run_locality.sh-style table.
 """
 
 from __future__ import annotations
@@ -34,64 +39,119 @@ def main() -> int:
     ap.add_argument("--edge-factor", type=int, default=6)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--impl", default="routed", choices=["routed", "window", "dia"]
+    )
+    ap.add_argument(
+        "--matrix", default=None, choices=[None, "rmat", "banded"]
+    )
     args = ap.parse_args()
+    if args.matrix is None:
+        args.matrix = "rmat" if args.impl == "routed" else "banded"
 
     import jax
     import jax.numpy as jnp
 
     from cvr_tpu.bench.harness import HBM_BW, detect_chip
-    from cvr_tpu.bench.synthetic import rmat_matrix
+    from cvr_tpu.bench.synthetic import banded_matrix, rmat_matrix
     from cvr_tpu.formats.sell_routed import sell_pack_routed
     from cvr_tpu.ops import pallas_route as PR
     from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
 
-    coo = rmat_matrix(
-        scale=args.scale, edge_factor=args.edge_factor, seed=args.seed
-    )
+    if args.matrix == "banded":
+        coo = banded_matrix(1 << args.scale, bandwidth=27, seed=args.seed)
+    else:
+        coo = rmat_matrix(
+            scale=args.scale, edge_factor=args.edge_factor, seed=args.seed
+        )
     csr = coo.to_csr()
     print(f"matrix: {csr.shape[0]}x{csr.shape[1]}, {csr.nnz} nnz")
-    t0 = time.perf_counter()
-    sr = sell_pack_routed(csr)
-    print(
-        f"pack: {time.perf_counter() - t0:.1f}s, T={sr.T}, "
-        f"S_pad={sr.S_pad}, fillers={sr.n_fillers}"
-    )
-    sd = to_device_routed(sr)
+
+    if args.impl == "window":
+        from cvr_tpu.formats.sell_window import sell_pack_window
+        from cvr_tpu.ops.spmv_window import (
+            _x_table,
+            spmv_window,
+            to_device_window,
+        )
+
+        t0 = time.perf_counter()
+        sw = to_device_window(sell_pack_window(csr))
+        print(f"pack: {time.perf_counter() - t0:.1f}s, W={sw.W}, "
+              f"D={sw.D}, wrl={sw.wrl}, S_pad={sw.S_pad}")
+        sd = sw
+        prefixes_override = [
+            ("x-table prep", lambda s, x: _x_table(
+                s, x.astype(jnp.float32)
+            ).reshape(-1)[:1]),
+            ("+ fused window kernel = full",
+             lambda s, x: spmv_window(s, x)),
+        ]
+    elif args.impl == "dia":
+        from cvr_tpu.formats.dia import dia_pack
+        from cvr_tpu.ops.pallas_dia import spmv_dia_pallas
+        from cvr_tpu.ops.spmv_dia import spmv_dia_xla, to_device_dia
+
+        t0 = time.perf_counter()
+        sdd = to_device_dia(dia_pack(csr))
+        print(f"pack: {time.perf_counter() - t0:.1f}s, nd={len(sdd.offsets)}")
+        sd = sdd
+        prefixes_override = [
+            ("xla shifted-FMA", lambda s, x: spmv_dia_xla(s, x)),
+            ("pallas roll kernel = full",
+             lambda s, x: spmv_dia_pallas(s, x)),
+        ]
+    else:
+        prefixes_override = None
+        t0 = time.perf_counter()
+        sr = sell_pack_routed(csr)
+        print(
+            f"pack: {time.perf_counter() - t0:.1f}s, T={sr.T}, "
+            f"S_pad={sr.S_pad}, fillers={sr.n_fillers}"
+        )
+        sd = to_device_routed(sr)
     ncols = sd.shape[1]
-    hrows = sd.n_segs * sd.segw * 8
+    hrows = (
+        sd.n_segs * sd.segw * 8 if args.impl == "routed" else 0
+    )
 
     def x2_of(x):
         return jnp.pad(x, (0, hrows * 128 - ncols)).reshape(hrows, 128)
 
-    # Pass prefixes: each returns something summable.
-    def p_expand(x):
-        return PR.expand(sd.w8, sd.seg_blk, sd.li, x2_of(x), sd.segw)
+    # Pass prefixes: each takes (device struct, x) — the struct must be
+    # a jit ARGUMENT, not a closure, or the remote-compile payload
+    # embeds the packed planes as constants (observed HTTP 413 at
+    # 360 MB of window planes).
+    def p_expand(s, x):
+        if args.impl != "routed":
+            return x
+        return PR.expand(s.w8, s.seg_blk, s.li, x2_of(x), s.segw)
 
-    def p_m1(x):
-        g1 = p_expand(x)
-        return PR._mid_fused_call(sd.mid.Tk, "m1", PR.use_interpret())(
-            g1, sd.mid.m1
+    def p_m1(s, x):
+        g1 = p_expand(s, x)
+        return PR._mid_fused_call(s.mid.Tk, "m1", PR.use_interpret())(
+            g1, s.mid.m1
         )
 
-    def p_csel(x):
-        return PR.chunksel(p_m1(x), sd.mid.csel, sd.mid.Tk)
+    def p_csel(s, x):
+        return PR.chunksel(p_m1(s, x), s.mid.csel, s.mid.Tk)
 
-    def p_reduce(x):
-        m = p_csel(x)
+    def p_reduce(s, x):
+        m = p_csel(s, x)
         parts = []
-        for j, (r0, nr) in enumerate(sd.ycall_rows):
-            nsl = min(PR.YB, sd.nslices - j * PR.YB)
+        for j, (r0, nr) in enumerate(s.ycall_rows):
+            nsl = min(PR.YB, s.nslices - j * PR.YB)
             if nr == 0:
                 parts.append(jnp.zeros((8, nsl, 128), jnp.float32))
                 continue
             parts.append(
                 PR.reduce_m3_slices(
-                    sd.emit[r0 : r0 + nr],
-                    sd.gemit[r0 // 8 : (r0 + nr) // 8],
+                    s.emit[r0 : r0 + nr],
+                    s.gemit[r0 // 8 : (r0 + nr) // 8],
                     m,
-                    sd.mid.m3,
-                    sd.vals_ss[:, r0 : r0 + nr],
-                    sd.p3[:, r0 : r0 + nr],
+                    s.mid.m3,
+                    s.vals_ss[:, r0 : r0 + nr],
+                    s.p3[:, r0 : r0 + nr],
                     nsl,
                     ofs=r0 // PR.CH,
                 )
@@ -100,8 +160,8 @@ def main() -> int:
             parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         )
 
-    def p_full(x):
-        return spmv_routed(sd, x)
+    def p_full(s, x):
+        return spmv_routed(s, x)
 
     prefixes = [
         ("expand (+stage1)", p_expand),
@@ -110,38 +170,40 @@ def main() -> int:
         ("+ reduce(M3,st3)", p_reduce),
         ("+ y-route = full", p_full),
     ]
-    if sd.mid.kind != "rec":
+    if prefixes_override is not None:
+        prefixes = prefixes_override
+    elif sd.mid.kind != "rec":
         prefixes = [prefixes[0], prefixes[-1]]
 
     def slope(fn):
         """Honest per-call seconds for fn over fresh PRNG x each iter."""
 
-        def run(seed, iters):
+        def run(s_in, seed, iters):
             key = jax.random.PRNGKey(seed)
 
             def body(i, carry):
-                s, k = carry
+                acc, k = carry
                 x = jax.random.normal(k, (ncols,), jnp.float32)
-                out = fn(x)
+                out = fn(s_in, x)
                 s2 = jnp.sum(out)
                 # data-dependent fold: never true at runtime, opaque to
                 # XLA -> the pass cannot be hoisted out of the loop
                 k2 = jax.random.fold_in(
                     k, 1 + (s2 > 1e30).astype(jnp.int32)
                 )
-                return s + s2, k2
+                return acc + s2, k2
 
-            s, _ = jax.lax.fori_loop(
+            acc, _ = jax.lax.fori_loop(
                 0, iters, body, (jnp.float32(0), key)
             )
-            return s
+            return acc
 
         runj = jax.jit(run, static_argnums=())
-        _ = np.asarray(runj(jnp.int32(0), jnp.int32(1)))  # compile
+        _ = np.asarray(runj(sd, jnp.int32(0), jnp.int32(1)))  # compile
 
         def timed(L, seed):
             t0 = time.perf_counter()
-            _ = np.asarray(runj(jnp.int32(seed), jnp.int32(L)))
+            _ = np.asarray(runj(sd, jnp.int32(seed), jnp.int32(L)))
             return time.perf_counter() - t0
 
         L1 = 4
@@ -155,7 +217,7 @@ def main() -> int:
         return max(t2 - t1, 1e-12) / (L2 - L1)
 
     # The PRNG + sum overhead itself (empty prefix).
-    base = slope(lambda x: x)
+    base = slope(lambda s, x: x)
     bw = HBM_BW[detect_chip()]
     times = []
     for name, fn in prefixes:
@@ -163,7 +225,9 @@ def main() -> int:
         times.append((name, t))
         print(f"  measured {name}: {t * 1e3:.3f} ms cumulative")
 
-    stream_mb = sd.T * 1024 * 4 / 1e6
+    stream_mb = (
+        sd.T * 1024 * 4 / 1e6 if args.impl == "routed" else 0
+    )
     print(f"\nchip: {detect_chip()}  stream: {stream_mb:.0f} MB/pass")
     print(f"{'pass':^36s} {'ms':>8s} {'GB/s':>8s}  traffic model")
     prev = 0.0
@@ -175,9 +239,16 @@ def main() -> int:
         "+ reduce(M3,st3) + y-route = full": sd.S_pad
         * 1024
         * (4 + 4 + 2 + 2),
+    } if args.impl == "routed" else {
+        "+ fused window kernel = full": getattr(sd, "S_pad", 0)
+        * 1024 * (4 + 2),
+        "xla shifted-FMA": len(getattr(sd, "offsets", ())) * csr.shape[0] * 8,
+        "pallas roll kernel = full": len(getattr(sd, "offsets", ()))
+        * csr.shape[0] * 4,
     }
+    cumulative = args.impl != "dia"  # dia rows are alternatives
     for name, t in times:
-        dt = t - prev
+        dt = (t - prev) if cumulative else t
         prev = t
         gbps = traffic.get(name, 0) / max(dt, 1e-12) / 1e9
         print(f"{name:36s} {dt * 1e3:8.3f} {gbps:8.0f}")
