@@ -115,3 +115,91 @@ def spmv_dia_pallas(sd, x: jax.Array) -> jax.Array:
     ).reshape(sd.bands.shape[0], Hy, 128)
     y = _dia_call(shifts, Hy, Wp, use_interpret())(xp, bands3)
     return y.reshape(-1)[:nrows]
+
+
+# ---------------------------------------------------------------------------
+# Fused DIA SpMM: Y[r, :] += band_k[r] * X[r + off_k, :].  With K in the
+# lane dimension the diagonal shifts move along SUBLANES — static slices,
+# no rolls at all.  Each grid step reads its X block plus the next one
+# (the halo), so X streams through HBM exactly once instead of once per
+# diagonal (the XLA path's bound: measured 305 useful GFLOPS at K=128 on
+# banded-1M vs 494 for the fused BSR MXU kernel).
+# ---------------------------------------------------------------------------
+
+RS = 1024  # output rows per grid step
+
+
+def _dia_spmm_kernel(shifts: tuple, xa_ref, xb_ref, bt_ref, y_ref):
+    acc = jnp.zeros((RS, 128), jnp.float32)
+    for k, s in enumerate(shifts):
+        b = jnp.broadcast_to(bt_ref[:, k : k + 1], (RS, 128))
+        if s == 0:
+            acc = acc + b * xa_ref[...]
+        else:
+            view = jnp.concatenate(
+                [xa_ref[s:, :], xb_ref[:s, :]], axis=0
+            )
+            acc = acc + b * view
+    y_ref[...] = acc
+
+
+@functools.lru_cache(maxsize=None)
+def _dia_spmm_call(shifts: tuple, Hy: int, Kb: int, interpret: bool):
+    grid = (Hy // RS, Kb)
+
+    def fn(xp, bandsT):
+        return pl.pallas_call(
+            functools.partial(_dia_spmm_kernel, shifts),
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((Hy, Kb * 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(
+                    (RS, 128), lambda c, kb: (c, kb),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # halo: the next row block
+                    (RS, 128), lambda c, kb: (c + 1, kb),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # per-row band values, one lane per diag
+                    (RS, 128), lambda c, kb: (c, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (RS, 128), lambda c, kb: (c, kb),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(xp, xp, bandsT)
+
+    return jax.jit(fn)
+
+
+def spmm_dia_pallas(sd, X: jax.Array) -> jax.Array:
+    """Y = A @ X on a DiaDevice via the fused halo kernel.
+
+    Requires the diagonal reach to fit one row block (reach < 1024 rows
+    after front alignment) and at most 128 diagonals; callers fall back
+    to the XLA path otherwise (ops.spmv_dia.spmm_dia dispatches).
+    """
+    nrows, ncols = sd.shape
+    K = X.shape[1]
+    Kb = -(-K // 128)
+    lo = min(sd.offsets + (0,))
+    pad0 = _round_up(max(-lo, 0), 8)
+    shifts = tuple(pad0 + off for off in sd.offsets)
+    if max(shifts) >= RS or len(shifts) > 128:
+        raise ValueError("diagonal reach exceeds the halo block")
+    Hy = _round_up(max(nrows, 1), RS)
+    # one extra zero block so the halo read at the last step is in range
+    xp = jnp.pad(
+        X.astype(jnp.float32),
+        ((pad0, Hy + RS - pad0 - ncols), (0, Kb * 128 - K)),
+    )
+    bandsT = jnp.zeros((Hy, 128), jnp.float32)
+    bandsT = bandsT.at[: sd.bands.shape[1], : len(shifts)].set(
+        sd.bands.T.astype(jnp.float32)
+    )
+    y = _dia_spmm_call(shifts, Hy, Kb, use_interpret())(xp, bandsT)
+    return y[:nrows, :K]

@@ -199,3 +199,21 @@ def test_dia_xla_and_pallas_agree():
             np.asarray(fn(sd, x)), gold, rtol=1e-6, row_scale=rs
         )
         assert ok, (fn.__name__, nbad, mx)
+
+
+def test_dia_spmm_pallas_and_xla_agree():
+    from cvr_tpu.ops.pallas_dia import spmm_dia_pallas
+    from cvr_tpu.ops.spmv_dia import spmm_dia, spmm_dia_xla
+
+    coo = banded_matrix(n=7000, bandwidth=9, seed=4)
+    csr = coo.to_csr()
+    sd = to_device_dia(dia_pack(csr))
+    X = np.random.default_rng(1).standard_normal((7000, 11)).astype(
+        np.float32
+    )
+    m64 = coo.to_scipy().astype(np.float64)
+    gold = m64 @ X
+    scale = abs(m64) @ np.abs(X) + 1e-30
+    for fn in (spmm_dia, spmm_dia_pallas, spmm_dia_xla):
+        Y = np.asarray(fn(sd, X))
+        assert (np.abs(Y - gold) / scale).max() < 1e-6, fn.__name__
