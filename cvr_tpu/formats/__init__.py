@@ -60,7 +60,23 @@ def pack_auto(csr: CSRMatrix, max_window_fill: float = 2.0):
     try:
         sw = sell_pack_window(csr)
     except WindowInfeasible:
-        return sell_pack_routed(csr)
+        try:
+            return sell_pack_routed(csr)
+        except ValueError as e:
+            # Above the routed path's one-chip cap (T > 98304, ~100M
+            # stored nnz): degrade to the plain SELL planes (XLA
+            # segment-sum path — slower, but any size) instead of
+            # raising, and say how to get the fast path back.
+            import warnings
+
+            warnings.warn(
+                f"pack_auto: routed path infeasible ({e}); falling "
+                "back to SELL-XLA.  For kernel-rate SpMV, row-shard "
+                "this matrix across devices "
+                "(cvr_tpu.parallel.dist_routed).",
+                stacklevel=2,
+            )
+            return sell_pack(csr, C=1024)
     if csr.nnz and sw.padded_nnz / csr.nnz > max_window_fill:
         try:
             return sell_pack_routed(csr)

@@ -91,7 +91,10 @@ def bicgstab(
     The nonsymmetric companion to conjugate_gradient — the standard
     solver for the reference's routing/circuit matrices (CVR paper
     Table 2), needing only A @ v products (two per iteration).
-    Returns (x, iterations, relative residual norm).
+    Returns (x, iterations, relative residual norm).  On an exact
+    breakdown (rho = 0, r_hat orthogonal to v, or omega = 0 — singular
+    or deficient systems) the iteration freezes at the last finite
+    iterate instead of spinning NaNs to max_iters (ADVICE r2).
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
@@ -99,31 +102,47 @@ def bicgstab(
     b_norm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
     rho = jnp.vdot(r_hat, r)
     p = r
+    eps = jnp.float32(1e-30)
 
     def cond(state):
-        _, r, _, _, _, it = state
-        return jnp.logical_and(
-            jnp.linalg.norm(r) / b_norm > tol, it < max_iters
+        _, r, _, _, down, it = state
+        return (
+            (jnp.linalg.norm(r) / b_norm > tol)
+            & (it < max_iters)
+            & ~down
         )
 
     def body(state):
-        x, r, p, rho, _, it = state
+        x, r, p, rho, down, it = state
         v = matvec(p)
-        alpha = rho / jnp.vdot(r_hat, v)
-        s = r - alpha * v
+        rv = jnp.vdot(r_hat, v)
+        s = r - (rho / rv) * v
         t = matvec(s)
-        omega = jnp.vdot(t, s) / jnp.maximum(
-            jnp.vdot(t, t), 1e-30
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / tt
+        # breakdown: any denominator vanishing makes the next iterate
+        # undefined — keep the current one and exit via cond.
+        broke = (
+            (jnp.abs(rv) < eps) | (tt < eps) | (jnp.abs(omega) < eps)
         )
-        x = x + alpha * p + omega * s
-        r = s - omega * t
-        rho_new = jnp.vdot(r_hat, r)
-        beta = (rho_new / rho) * (alpha / omega)
-        p = r + beta * (p - omega * v)
-        return x, r, p, rho_new, omega, it + 1
+        alpha = rho / jnp.where(broke, 1.0, rv)
+        omega = jnp.where(broke, 1.0, omega)
+        x_n = x + alpha * p + omega * s
+        r_n = s - omega * t
+        rho_n = jnp.vdot(r_hat, r_n)
+        broke = broke | (jnp.abs(rho_n) < eps)
+        beta = (rho_n / jnp.where(jnp.abs(rho) < eps, 1.0, rho)) * (
+            alpha / omega
+        )
+        p_n = r_n + beta * (p - omega * v)
+        keep = lambda new, old: jnp.where(broke, old, new)
+        return (
+            keep(x_n, x), keep(r_n, r), keep(p_n, p), keep(rho_n, rho),
+            broke, it + 1,
+        )
 
-    x, r, p, rho, omega, iters = jax.lax.while_loop(
-        cond, body, (x, r, p, rho, jnp.float32(1.0), jnp.int32(0))
+    x, r, p, rho, down, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, rho, jnp.bool_(False), jnp.int32(0))
     )
     return x, iters, jnp.linalg.norm(r) / b_norm
 
@@ -147,21 +166,25 @@ def jacobi(
     x = jnp.zeros_like(b) if x0 is None else x0
     dinv = omega / diag
     b_norm = jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    # carry r = b - A x for the CURRENT x, so the convergence test and
+    # the returned residual describe the returned iterate (not the
+    # previous one, which would run one extra sweep and over-report).
+    r0 = b - matvec(x)
 
     def cond(state):
-        _, rn, it = state
-        return jnp.logical_and(rn / b_norm > tol, it < max_iters)
+        _, r, it = state
+        return jnp.logical_and(
+            jnp.linalg.norm(r) / b_norm > tol, it < max_iters
+        )
 
     def body(state):
-        x, _, it = state
-        r = b - matvec(x)
+        x, r, it = state
         x = x + dinv * r
-        return x, jnp.linalg.norm(r), it + 1
+        r = b - matvec(x)
+        return x, r, it + 1
 
-    x, rn, iters = jax.lax.while_loop(
-        cond, body, (x, jnp.float32(jnp.inf), jnp.int32(0))
-    )
-    return x, iters, rn / b_norm
+    x, r, iters = jax.lax.while_loop(cond, body, (x, r0, jnp.int32(0)))
+    return x, iters, jnp.linalg.norm(r) / b_norm
 
 
 def subspace_iteration(

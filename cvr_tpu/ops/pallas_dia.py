@@ -106,9 +106,14 @@ def spmv_dia_pallas(sd, x: jax.Array) -> jax.Array:
     shifts = tuple(pad0 + off for off in sd.offsets)
     Wp = _round_up((max(shifts) >> 7) + 1, 8)
     xp_len = (Hy + Wp) * 128
+    # columns beyond the last reachable row (nrows-1 + max offset) are
+    # never read; slicing keeps the tail pad non-negative for wide
+    # rectangular matrices (ncols >> nrows).  Reachable count is always
+    # <= xp_len - pad0 because max(shifts) < Wp*128.
+    xr = min(ncols, xp_len - pad0)
     xp = jnp.pad(
-        x.astype(jnp.float32),
-        (pad0, xp_len - pad0 - ncols),
+        x[:xr].astype(jnp.float32),
+        (pad0, xp_len - pad0 - xr),
     ).reshape(Hy + Wp, 128)
     bands3 = jnp.pad(
         sd.bands, ((0, 0), (0, Hy * 128 - sd.bands.shape[1]))
@@ -192,10 +197,15 @@ def spmm_dia_pallas(sd, X: jax.Array) -> jax.Array:
     if max(shifts) >= RS or len(shifts) > 128:
         raise ValueError("diagonal reach exceeds the halo block")
     Hy = _round_up(max(nrows, 1), RS)
-    # one extra zero block so the halo read at the last step is in range
+    # one extra zero block so the halo read at the last step is in range.
+    # X rows beyond the last reachable one (nrows-1 + max offset) are
+    # never read; slicing keeps the tail pad non-negative for wide
+    # rectangular matrices (reachable <= Hy + RS - pad0 since
+    # max(shifts) < RS).
+    xr = min(ncols, Hy + RS - pad0)
     xp = jnp.pad(
-        X.astype(jnp.float32),
-        ((pad0, Hy + RS - pad0 - ncols), (0, Kb * 128 - K)),
+        X[:xr].astype(jnp.float32),
+        ((pad0, Hy + RS - pad0 - xr), (0, Kb * 128 - K)),
     )
     bandsT = jnp.zeros((Hy, 128), jnp.float32)
     bandsT = bandsT.at[: sd.bands.shape[1], : len(shifts)].set(

@@ -217,3 +217,47 @@ def test_dia_spmm_pallas_and_xla_agree():
     for fn in (spmm_dia, spmm_dia_pallas, spmm_dia_xla):
         Y = np.asarray(fn(sd, X))
         assert (np.abs(Y - gold) / scale).max() < 1e-6, fn.__name__
+
+
+def test_dia_wide_rectangular_pallas():
+    """Wide rectangular matrices (ncols far beyond the reachable rows)
+    used to drive the Pallas kernels' tail pad negative (jnp.pad
+    ValueError); both kernels now slice x/X to the reachable rows first
+    (ADVICE r2: spmv_dia.py:89 / pallas_dia.py:111)."""
+    from cvr_tpu.formats.coo import COOMatrix
+    from cvr_tpu.ops.pallas_dia import spmm_dia_pallas, spmv_dia_pallas
+    from cvr_tpu.ops.spmv_dia import spmm_dia
+
+    n, m = 1000, 3000
+    r = np.arange(n, dtype=np.int32)
+    coo = COOMatrix(
+        rows=r,
+        cols=(r + 500).astype(np.int32),
+        vals=np.random.default_rng(0).standard_normal(n).astype(np.float32),
+        shape=(n, m),
+    )
+    csr = coo.to_csr()
+    sd = to_device_dia(dia_pack(csr))
+    m64 = coo.to_scipy().astype(np.float64)
+
+    X = np.random.default_rng(1).standard_normal((m, 5)).astype(np.float32)
+    gold = m64 @ X
+    scale = abs(m64) @ np.abs(X) + 1e-30
+    for fn in (spmm_dia, spmm_dia_pallas):  # dispatcher AND direct
+        Y = np.asarray(fn(sd, X))
+        assert (np.abs(Y - gold) / scale).max() < 1e-6, fn.__name__
+
+    # SpMV with ncols beyond the kernel's padded x length
+    coo_w = COOMatrix(
+        rows=r, cols=(r + 500).astype(np.int32),
+        vals=coo.vals, shape=(n, 40000),
+    )
+    csr_w = coo_w.to_csr()
+    sd_w = to_device_dia(dia_pack(csr_w))
+    x = np.random.default_rng(2).standard_normal(40000).astype(np.float32)
+    y = np.asarray(spmv_dia_pallas(sd_w, x))
+    ok, nbad, mx = verify(
+        y, spmv_golden_numpy(csr_w, x),
+        rtol=1e-6, row_scale=spmv_row_scale(csr_w, x),
+    )
+    assert ok, (nbad, mx)

@@ -234,3 +234,40 @@ def test_subspace_iteration_spmm():
     # dominant magnitude eigenvalues)
     top_mag = np.sort(np.abs(np.linalg.eigvalsh(dense)))[-1]
     assert abs(abs(float(evals[0])) - top_mag) / top_mag < 5e-2
+
+
+def test_jacobi_reported_residual_matches_iterate():
+    """The returned residual must describe the returned x (ADVICE r2:
+    the loop used to report the PREVIOUS iterate's residual)."""
+    from cvr_tpu.models import jacobi
+
+    n = 64
+    rng = np.random.default_rng(5)
+    A = np.diag(np.full(n, 5.0)) + 0.3 * rng.standard_normal((n, n)) / n
+    A = A.astype(np.float32)
+    diag = np.ascontiguousarray(np.diag(A))
+    b = rng.standard_normal(n).astype(np.float32)
+    x, iters, res = jacobi(
+        lambda v: jnp.asarray(A) @ v, jnp.asarray(diag), jnp.asarray(b),
+        tol=1e-5, max_iters=500,
+    )
+    true_res = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+    assert abs(float(res) - true_res) < 1e-6 + 1e-3 * true_res
+    assert true_res < 1e-5
+
+
+def test_bicgstab_breakdown_guard():
+    """An exact breakdown (b orthogonal to the Krylov progress, here a
+    singular A with b partly outside its range) must not produce NaNs
+    (ADVICE r2: unguarded rho / r_hat.v / omega denominators)."""
+    from cvr_tpu.models import bicgstab
+
+    n = 32
+    A = np.zeros((n, n), np.float32)
+    A[: n // 2, : n // 2] = np.eye(n // 2, dtype=np.float32)
+    b = np.ones(n, np.float32)
+    x, iters, res = bicgstab(
+        lambda v: jnp.asarray(A) @ v, jnp.asarray(b), max_iters=50
+    )
+    assert np.isfinite(np.asarray(x)).all()
+    assert np.isfinite(float(res))
