@@ -154,7 +154,12 @@ def get_lib():
     lib.cvr_dia_fill.argtypes = [
         _i64, _i64, _i64p, _i32p, _f32p, _i64, _i64p, _f32p,
     ]
-    if lib.cvr_version() != 12:
+    lib.cvr_route_compile.restype = ctypes.c_int
+    lib.cvr_route_compile.argtypes = [
+        _i64, _i32p, _i64, _i64, _i64, ctypes.c_void_p, _i16p, _i32p,
+        _i16p,
+    ]
+    if lib.cvr_version() != 13:
         return None
     _LIB = lib
     return _LIB
@@ -573,6 +578,33 @@ def route_planes_ss_native(perm, colors, T: int, Tp: int):
     if rc != 0:
         raise NativeError(native_error(lib))
     return s1, mid, s3
+
+
+def route_compile_native(perm, T: int, Tp: int, S_dst: int, li_flat=None):
+    """Fused Euler coloring + plane emission (one native call): returns
+    (s1_ss (8,Tp,128) i16, mid (1024,T) i32, p3_ss (8,S_dst,128) i16).
+    With li_flat, s1 carries the stage-1 li composition (expand plane);
+    without, the raw offsets (y-route).  Replaces the
+    euler_color_perm + route_planes pair — the colors array is never
+    materialized and the final Euler level emits the planes directly."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    perm = np.ascontiguousarray(perm, dtype=np.int32)
+    s1 = np.zeros((8, Tp, 128), dtype=np.int16)
+    mid = np.empty((1024, T), dtype=np.int32)
+    p3 = np.zeros((8, S_dst, 128), dtype=np.int16)
+    if li_flat is not None:
+        li_flat = np.ascontiguousarray(li_flat, dtype=np.int16)
+        li_ptr = li_flat.ctypes.data
+    else:
+        li_ptr = None
+    rc = lib.cvr_route_compile(
+        perm.shape[0], perm, T, Tp, S_dst, li_ptr, s1, mid, p3
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return s1, mid, p3
 
 
 def dia_offsets_native(rowptr, cols, nrows: int, ncols: int):

@@ -198,9 +198,11 @@ def pack_routed(
             )
             _check_T(T)
         with pt.phase("route_plan"):
-            colors = _native.euler_color_perm_native(perm, T)
-            li_ss, mid_arr, p3_ss = _native.route_planes_fused_native(
-                perm, colors, T, S_padded, li_flat
+            # one fused native call: BFS Euler coloring with the plane
+            # emission folded into its final level (no colors array, no
+            # separate plane pass)
+            li_ss, mid_arr, p3_ss = _native.route_compile_native(
+                perm, T, T, S_padded, li_flat
             )
             n_fillers = T * TILE - N_plane
         with pt.phase("fuse_planes"):

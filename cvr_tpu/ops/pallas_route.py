@@ -1083,7 +1083,7 @@ def route_arrays_from_perm(
 
     if not (
         _native.available()
-        and hasattr(_native, "route_planes_ss_native")
+        and hasattr(_native, "route_compile_native")
     ):
         return route_arrays(plan_route(perm, n=n, tile_multiple=tile_multiple))
     perm = np.asarray(perm, dtype=np.int64)
@@ -1094,11 +1094,8 @@ def route_arrays_from_perm(
     full = np.arange(T * RTILE, dtype=np.int64)
     full[:N] = perm
     perm32 = full.astype(np.int32)
-    colors = _native.euler_color_perm_native(perm32, T)
     Tp = _round_up(T, 128)
-    s1_ss, mid, s3_ss = _native.route_planes_ss_native(
-        perm32, colors, T, Tp
-    )
+    s1_ss, mid, s3_ss = _native.route_compile_native(perm32, T, Tp, Tp)
     return {
         "s1": s1_ss,
         "mid_planes": middle_planes_from(mid, T),

@@ -25,6 +25,7 @@
 #include <cstdio>
 #include <cstring>
 #include <functional>
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -1163,11 +1164,27 @@ int cvr_stream_fill(int64_t S, int64_t S_padded, const int64_t* rmap,
 // next2 array (the double-step successor pu[pv[e]] is gathered lazily).
 static void euler_iter_perm(int64_t m, int32_t* usrc, int32_t* gid,
                             int64_t n_tiles, int32_t k, int32_t* color) {
+  // v2 (round 3): the dst-side pairing is POSITIONAL at every level, not
+  // just the top one.  Invariant: each recursion segment holds its edges
+  // sorted by gid (dst position) — true at the top (gid = identity) and
+  // preserved because the side partition below is stable.  In gid order
+  // one dst tile's edges are consecutive, every dst tile has exactly k
+  // edges in the segment (the graph is k-regular at every level, k
+  // even, and Euler halving is exact), and segment starts stay even, so
+  // consecutive (even, odd) slots are exactly the dst-side Euler pairs:
+  //
+  //     pv(e) = e ^ 1        (never materialized)
+  //
+  // This removes the pv array (half the chase footprint), the dst
+  // pairing pass, one of the two dependent random reads per chase step
+  // (next2(e) = pu[e ^ 1]), and — since halving is exact — the side
+  // counting pass (na = ms / 2 always).  Measured ~2.5x on the
+  // converter's whale phase at web scale; the win grows with size
+  // because the footprint halves.
   std::vector<int32_t> usrc2((size_t)m), gid2((size_t)m);
-  std::vector<int32_t> pu((size_t)m), pv((size_t)m), seg_of((size_t)m);
-  const int64_t nv = 2 * n_tiles;
-  std::vector<int32_t> pend((size_t)nv, -1);
-  std::vector<int32_t> pend_ep((size_t)nv, -1);
+  std::vector<int32_t> pu((size_t)m), seg_of((size_t)m);
+  std::vector<int32_t> pend((size_t)n_tiles, -1);
+  std::vector<int32_t> pend_ep((size_t)n_tiles, -1);
   std::vector<int32_t> ruler_leader;
   std::vector<int32_t> succ_ruler;
   int32_t epoch = 0;
@@ -1177,7 +1194,6 @@ static void euler_iter_perm(int64_t m, int32_t* usrc, int32_t* gid,
   };
   std::vector<Seg> stack;
   stack.push_back({0, m, k, 0});
-  bool top_level = true;
   while (!stack.empty()) {
     Seg sg = stack.back();
     stack.pop_back();
@@ -1186,58 +1202,26 @@ static void euler_iter_perm(int64_t m, int32_t* usrc, int32_t* gid,
       for (int64_t e = s0; e < s1; e++) color[gid[(size_t)e]] = sg.base;
       continue;
     }
-    // pairing via pending pointers (epoch-stamped).  At the top level
-    // gid is the identity, so the dst-side pairing is simply e ^ 1.
+    // pairing at the src side via pending pointers (epoch-stamped)
     epoch++;
-    if (top_level) {
-      for (int64_t e = s0; e < s1; e++) pv[(size_t)e] = (int32_t)(e ^ 1);
-      for (int64_t e = s0; e < s1; e++) {
-        int32_t u = usrc[(size_t)e];
-        if (pend_ep[(size_t)u] != epoch) {
-          pend_ep[(size_t)u] = epoch;
-          pend[(size_t)u] = (int32_t)e;
-        } else if (pend[(size_t)u] < 0) {
-          pend[(size_t)u] = (int32_t)e;
-        } else {
-          int32_t o = pend[(size_t)u];
-          pu[(size_t)e] = o;
-          pu[(size_t)o] = (int32_t)e;
-          pend[(size_t)u] = -1;
-        }
-      }
-      top_level = false;
-    } else {
-      for (int64_t e = s0; e < s1; e++) {
-        int32_t u = usrc[(size_t)e];
-        if (pend_ep[(size_t)u] != epoch) {
-          pend_ep[(size_t)u] = epoch;
-          pend[(size_t)u] = (int32_t)e;
-        } else if (pend[(size_t)u] < 0) {
-          pend[(size_t)u] = (int32_t)e;
-        } else {
-          int32_t o = pend[(size_t)u];
-          pu[(size_t)e] = o;
-          pu[(size_t)o] = (int32_t)e;
-          pend[(size_t)u] = -1;
-        }
-        int32_t v = (int32_t)(n_tiles + (gid[(size_t)e] >> 10));
-        if (pend_ep[(size_t)v] != epoch) {
-          pend_ep[(size_t)v] = epoch;
-          pend[(size_t)v] = (int32_t)e;
-        } else if (pend[(size_t)v] < 0) {
-          pend[(size_t)v] = (int32_t)e;
-        } else {
-          int32_t o = pend[(size_t)v];
-          pv[(size_t)e] = o;
-          pv[(size_t)o] = (int32_t)e;
-          pend[(size_t)v] = -1;
-        }
+    for (int64_t e = s0; e < s1; e++) {
+      int32_t u = usrc[(size_t)e];
+      if (pend_ep[(size_t)u] != epoch) {
+        pend_ep[(size_t)u] = epoch;
+        pend[(size_t)u] = (int32_t)e;
+      } else if (pend[(size_t)u] < 0) {
+        pend[(size_t)u] = (int32_t)e;
+      } else {
+        int32_t o = pend[(size_t)u];
+        pu[(size_t)e] = o;
+        pu[(size_t)o] = (int32_t)e;
+        pend[(size_t)u] = -1;
       }
     }
     // single chase: every edge records its ruler segment id
     const int64_t R = 256;
     const int W = 32;
-    auto next2 = [&](int32_t e) { return pu[(size_t)pv[(size_t)e]]; };
+    auto next2 = [&](int32_t e) { return pu[(size_t)(e ^ 1)]; };
     if (ms >= (int64_t)1 << 15) {
       const int64_t n_rulers = (ms + R - 1) / R;
       succ_ruler.assign((size_t)n_rulers, -1);
@@ -1268,10 +1252,8 @@ static void euler_iter_perm(int64_t m, int32_t* usrc, int32_t* gid,
               continue;
             }
             seg_of[(size_t)e] = (int32_t)cs[c].ruler;
-            int32_t nx0 = pv[(size_t)e];
-            __builtin_prefetch(&pu[(size_t)nx0]);
-            int32_t nx = pu[(size_t)nx0];
-            __builtin_prefetch(&pv[(size_t)nx]);
+            int32_t nx = pu[(size_t)(e ^ 1)];
+            __builtin_prefetch(&pu[(size_t)(nx ^ 1)]);
             cs[c].e = nx;
             c++;
           }
@@ -1327,23 +1309,32 @@ static void euler_iter_perm(int64_t m, int32_t* usrc, int32_t* gid,
         }
       }
     }
-    // fused side + stable partition (two-pointer into scratch)
-    int64_t na = 0;
+    // stable partition into scratch.  Euler halving is exact, so the
+    // side counts are known (na = ms/2) and the whole pass streams:
+    // seg_of[e] and seg_of[e ^ 1] are adjacent reads, the leader table
+    // is tiny, and no counting pre-pass is needed.
+    const int64_t na = ms / 2;
     {
-      const int64_t PF = 16;
-      for (int64_t e = s0; e < s1; e++) {
-        if (e + PF < s1)
-          __builtin_prefetch(&seg_of[(size_t)pv[(size_t)(e + PF)]]);
-        na += ruler_leader[(size_t)seg_of[(size_t)e]] <=
-              ruler_leader[(size_t)seg_of[(size_t)pv[(size_t)e]]];
-      }
       int64_t ia = s0, ib = s0 + na;
       for (int64_t e = s0; e < s1; e++) {
         int32_t la = ruler_leader[(size_t)seg_of[(size_t)e]];
-        int32_t lb = ruler_leader[(size_t)seg_of[(size_t)pv[(size_t)e]]];
+        int32_t lb = ruler_leader[(size_t)seg_of[(size_t)(e ^ 1)]];
         int64_t d = (la > lb) ? ib++ : ia++;
+        if (__builtin_expect(d >= m, 0)) {
+          std::fprintf(stderr,
+                       "cvr_native: euler positional-pv invariant "
+                       "violated (segment [%lld,%lld))\n",
+                       (long long)s0, (long long)s1);
+          std::abort();
+        }
         usrc2[(size_t)d] = usrc[(size_t)e];
         gid2[(size_t)d] = gid[(size_t)e];
+      }
+      if (ia != s0 + na || ib != s1) {
+        std::fprintf(stderr,
+                     "cvr_native: euler halving imbalance (%lld vs %lld)\n",
+                     (long long)(ia - s0), (long long)na);
+        std::abort();
       }
     }
     std::memcpy(usrc + s0, usrc2.data() + s0, (size_t)ms * 4);
@@ -1362,6 +1353,262 @@ int cvr_euler_color_perm(int64_t n, const int32_t* perm, int64_t T,
     gid[(size_t)i] = (int32_t)i;
   }
   euler_iter_perm(n, usrc.data(), gid.data(), T, 1024, color);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Fused route compile (round 3): Euler coloring + plane emission in one.
+//
+// Differences from cvr_euler_color_perm + cvr_route_planes_fused:
+//   * BFS level order with buffer SWAP — the DFS version memcpy'd the
+//     partition back into place at every level (16 B/edge/level);
+//   * the full perm value p rides in the edge arrays (src tile = p >> 10
+//     on the fly), so the final level can emit the stage planes without
+//     re-reading perm;
+//   * the k == 2 level computes sides and EMITS directly — the k == 1
+//     color write, the final partition, the materialized colors array
+//     and the separate plane pass (~4 random accesses/edge over ~85 MB)
+//     all disappear.  Emission order is gid-ascending per color pair, so
+//     the p3 writes are 8 ascending strided streams, mid writes are two
+//     interleaved sequential streams, and the s1 writes for one color
+//     stay inside a T*256 B region (L2/L3-resident).
+//
+// li_flat == NULL emits s1 offsets (p & 1023) — the y-route case; else
+// the stage-1 li composition li_flat[p] (the expand-plane case).
+// Planes: s1_ss (8, Tp, 128) i16 (tiles [T, Tp) identity),
+// mid (1024, T) i32, p3_ss (8, S_dst, 128) i16 (rows [T, S_dst) identity).
+// ---------------------------------------------------------------------------
+
+// Chase all double-step cycles of a segment, filling seg_of with a
+// per-edge segment id and leaders with the cycle leader per id.
+// next2(e) = pu[e ^ 1] (positional dst pairing — see euler_iter_perm).
+static void chase_leaders(const int32_t* pu, int32_t* seg_of, int64_t s0,
+                          int64_t s1, std::vector<int32_t>& ruler_leader,
+                          std::vector<int32_t>& succ_ruler) {
+  const int64_t ms = s1 - s0;
+  const int64_t R = 256;
+  const int W = 32;
+  auto next2 = [&](int32_t e) { return pu[(size_t)(e ^ 1)]; };
+  if (ms >= (int64_t)1 << 15) {
+    const int64_t n_rulers = (ms + R - 1) / R;
+    succ_ruler.assign((size_t)n_rulers, -1);
+    for (int64_t e = s0; e < s1; e++) seg_of[(size_t)e] = -1;
+    struct Cur {
+      int64_t ruler;
+      int32_t e;
+    };
+    std::vector<Cur> cs;
+    cs.reserve(W);
+    int64_t next_start = 0;
+    auto refill = [&]() {
+      while ((int64_t)cs.size() < W && next_start < n_rulers) {
+        int64_t r = next_start++;
+        seg_of[(size_t)(s0 + r * R)] = (int32_t)r;
+        cs.push_back({r, next2((int32_t)(s0 + r * R))});
+      }
+    };
+    refill();
+    while (!cs.empty()) {
+      for (size_t c = 0; c < cs.size();) {
+        int32_t e = cs[c].e;
+        if (((e - s0) % R) == 0) {  // reached the next ruler
+          succ_ruler[(size_t)cs[c].ruler] = (int32_t)((e - s0) / R);
+          cs[c] = cs.back();
+          cs.pop_back();
+          continue;
+        }
+        seg_of[(size_t)e] = (int32_t)cs[c].ruler;
+        int32_t nx = pu[(size_t)(e ^ 1)];
+        __builtin_prefetch(&pu[(size_t)(nx ^ 1)]);
+        cs[c].e = nx;
+        c++;
+      }
+      refill();
+    }
+    // stitch ruler segments into cycles (tiny, cache-resident)
+    ruler_leader.assign((size_t)n_rulers, -1);
+    {
+      std::vector<int32_t> path;
+      for (int64_t r = 0; r < n_rulers; r++) {
+        if (ruler_leader[(size_t)r] != -1) continue;
+        path.clear();
+        int32_t lead = (int32_t)(s0 + r * R);
+        int64_t x = r;
+        while (ruler_leader[(size_t)x] == -1) {
+          ruler_leader[(size_t)x] = -2;
+          path.push_back((int32_t)x);
+          x = succ_ruler[(size_t)x];
+          if (ruler_leader[(size_t)x] == -1 && (int32_t)(s0 + x * R) < lead)
+            lead = (int32_t)(s0 + x * R);
+        }
+        int32_t fl =
+            ruler_leader[(size_t)x] >= 0 ? ruler_leader[(size_t)x] : lead;
+        for (int32_t pr : path) ruler_leader[(size_t)pr] = fl;
+      }
+    }
+    // leftover cycles containing no ruler
+    for (int64_t e = s0; e < s1; e++) {
+      if (seg_of[(size_t)e] >= 0) continue;
+      int32_t rid = (int32_t)ruler_leader.size();
+      ruler_leader.push_back((int32_t)e);
+      int32_t x = (int32_t)e;
+      while (seg_of[(size_t)x] < 0) {
+        seg_of[(size_t)x] = rid;
+        x = next2(x);
+      }
+    }
+  } else {
+    ruler_leader.clear();
+    for (int64_t e = s0; e < s1; e++) seg_of[(size_t)e] = -1;
+    for (int64_t e = s0; e < s1; e++) {
+      if (seg_of[(size_t)e] >= 0) continue;
+      int32_t rid = (int32_t)ruler_leader.size();
+      ruler_leader.push_back((int32_t)e);
+      int32_t x = (int32_t)e;
+      while (seg_of[(size_t)x] < 0) {
+        seg_of[(size_t)x] = rid;
+        x = next2(x);
+      }
+    }
+  }
+}
+
+int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
+                      int64_t S_dst, const int16_t* li_flat, int16_t* s1_ss,
+                      int32_t* mid, int16_t* p3_ss) {
+  if (n != T * 1024) return fail("perm length must be T*1024");
+  if (Tp < T) return fail("Tp must be >= T");
+  // The per-edge state carried through the levels is (src tile u, gid,
+  // payload v) where v is the int16 the emission will write (li_flat[p]
+  // for the expand plane, p & 1023 for the y-route) — gathered ONCE at
+  // init instead of 1 random read/edge at emit.  Buffers are
+  // deliberately uninitialized (new[], POD): every element is written
+  // before it is read, and the zero-fill of ~24 B/edge was a measurable
+  // cold-start cost at 25M+ nnz.
+  auto ua = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
+  auto ub = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
+  auto ga = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
+  auto gb = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
+  auto va = std::unique_ptr<int16_t[]>(new int16_t[(size_t)n]);
+  auto vb = std::unique_ptr<int16_t[]>(new int16_t[(size_t)n]);
+  auto pu = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
+  auto seg_of = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
+  // Two pending tables: each level's src pairing is fused into the
+  // PREVIOUS level's partition (edges pair in child-position order as
+  // they are appended), and the two children interleave.
+  std::vector<int32_t> pend0((size_t)T, -1), pend_ep0((size_t)T, -1);
+  std::vector<int32_t> pend1((size_t)T, -1), pend_ep1((size_t)T, -1);
+  std::vector<int32_t> ruler_leader, succ_ruler;
+  int32_t epoch = 0;
+  {  // init + the level-0 pairing in one pass
+    const int32_t ep = ++epoch;
+    int32_t* pn = pend0.data();
+    int32_t* pe = pend_ep0.data();
+    for (int64_t i = 0; i < n; i++) {
+      const int32_t p = perm[i];
+      const int32_t u = p >> 10;
+      ua[(size_t)i] = u;
+      ga[(size_t)i] = (int32_t)i;
+      va[(size_t)i] = li_flat ? li_flat[p] : (int16_t)(p & 1023);
+      if (pe[(size_t)u] != ep) {
+        pe[(size_t)u] = ep;
+        pn[(size_t)u] = (int32_t)i;
+      } else if (pn[(size_t)u] < 0) {
+        pn[(size_t)u] = (int32_t)i;
+      } else {
+        const int32_t o = pn[(size_t)u];
+        pu[(size_t)i] = o;
+        pu[(size_t)o] = (int32_t)i;
+        pn[(size_t)u] = -1;
+      }
+    }
+  }
+  int32_t* cu = ua.get();
+  int32_t* cg = ga.get();
+  int16_t* cv = va.get();
+  int32_t* ou = ub.get();
+  int32_t* og = gb.get();
+  int16_t* ov = vb.get();
+  int64_t seg = n;
+  for (int32_t k = 1024; k >= 2; k >>= 1) {
+    double tl = euler_debug() ? now_s() : 0.0;
+    const bool last = (k == 2);
+    for (int64_t s0 = 0; s0 < n; s0 += seg) {
+      const int64_t s1 = s0 + seg;
+      chase_leaders(pu.get(), seg_of.get(), s0, s1, ruler_leader,
+                    succ_ruler);
+      if (last) {
+        // sides ARE the low color bit; emit the planes directly.
+        const int32_t base = (int32_t)((s0 / seg) * 2);
+        for (int64_t e = s0; e < s1; e++) {
+          const int32_t la = ruler_leader[(size_t)seg_of[(size_t)e]];
+          const int32_t lb =
+              ruler_leader[(size_t)seg_of[(size_t)(e ^ 1)]];
+          const int32_t q = base + (la > lb);
+          const int32_t i = cg[(size_t)e];
+          const int64_t a = (int64_t)cu[(size_t)e];
+          const int64_t d = (int64_t)(i >> 10);
+          const int64_t o = i & 1023;
+          s1_ss[((int64_t)(q >> 7) * Tp + a) * 128 + (q & 127)] =
+              cv[(size_t)e];
+          mid[(int64_t)q * T + d] = (int32_t)a;
+          if (d < S_dst)
+            p3_ss[((o >> 7) * S_dst + d) * 128 + (o & 127)] = (int16_t)q;
+        }
+        continue;
+      }
+      // partition into the out buffers, pairing each child as it fills
+      const int64_t na = seg / 2;
+      int64_t ia = s0, ib = s0 + na;
+      const int32_t epA = ++epoch, epB = ++epoch;
+      int32_t* pnA = pend0.data();
+      int32_t* peA = pend_ep0.data();
+      int32_t* pnB = pend1.data();
+      int32_t* peB = pend_ep1.data();
+      for (int64_t e = s0; e < s1; e++) {
+        const int32_t la = ruler_leader[(size_t)seg_of[(size_t)e]];
+        const int32_t lb = ruler_leader[(size_t)seg_of[(size_t)(e ^ 1)]];
+        const bool sideB = la > lb;
+        const int64_t d = sideB ? ib++ : ia++;
+        if (__builtin_expect(d >= n, 0))
+          return fail("route_compile: halving invariant violated");
+        const int32_t u = cu[(size_t)e];
+        ou[(size_t)d] = u;
+        og[(size_t)d] = cg[(size_t)e];
+        ov[(size_t)d] = cv[(size_t)e];
+        int32_t* pn = sideB ? pnB : pnA;
+        int32_t* pe = sideB ? peB : peA;
+        const int32_t ep = sideB ? epB : epA;
+        if (pe[(size_t)u] != ep) {
+          pe[(size_t)u] = ep;
+          pn[(size_t)u] = (int32_t)d;
+        } else if (pn[(size_t)u] < 0) {
+          pn[(size_t)u] = (int32_t)d;
+        } else {
+          const int32_t o = pn[(size_t)u];
+          pu[(size_t)d] = o;
+          pu[(size_t)o] = (int32_t)d;
+          pn[(size_t)u] = -1;
+        }
+      }
+      if (ia != s0 + na || ib != s1)
+        return fail("route_compile: halving imbalance");
+    }
+    if (euler_debug())
+      std::fprintf(stderr, "route_compile k=%d: %.3fs\n", k, now_s() - tl);
+    if (!last) {
+      std::swap(cu, ou);
+      std::swap(cg, og);
+      std::swap(cv, ov);
+      seg >>= 1;
+    }
+  }
+  for (int64_t t = T; t < Tp; t++)
+    for (int64_t q = 0; q < 1024; q++)
+      s1_ss[((q >> 7) * Tp + t) * 128 + (q & 127)] = (int16_t)q;
+  for (int64_t d = T; d < S_dst; d++)
+    for (int64_t o = 0; o < 1024; o++)
+      p3_ss[((o >> 7) * S_dst + d) * 128 + (o & 127)] = (int16_t)o;
   return 0;
 }
 
@@ -1731,6 +1978,6 @@ int cvr_dia_fill(int64_t nrows, int64_t nnz, const int64_t* rowptr,
   return 0;
 }
 
-int cvr_version() { return 12; }
+int cvr_version() { return 13; }
 
 }  // extern "C"
