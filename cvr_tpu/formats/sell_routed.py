@@ -82,6 +82,7 @@ class SellRouted:
     y_ra: dict  # route_arrays for the y-route (y_sorted -> natural rows)
     extra_src: np.ndarray  # (n_extra,) int64 y_sorted flat positions
     extra_row: np.ndarray  # (n_extra,) int64 natural rows to add into
+    ymask: np.ndarray  # (nrows_out,) f32 row mask, or (0,) when unneeded
     # geometry
     shape: tuple[int, int]
     nnz: int
@@ -146,7 +147,19 @@ def pack_routed(
 
     S = sm.n_slots
     nrows, ncols = sm.shape
-    nslices = sm.nslices
+    # Effective slice count: rows are globally length-sorted, so slices
+    # of width 0 (all-empty rows — 61% of web-Google-like's rows) are
+    # exactly the TRAILING ones.  Their y-route sources are provably
+    # zero either way (padding lanes of real slices have zero value
+    # planes; positions beyond the reduce output are the y-stream's
+    # zero-pad), so the routed artifact drops them from nslices
+    # entirely: fewer reduce calls, and — whenever the effective count
+    # fits 1024 — a FLAT fused y-route instead of a recursive one.
+    widths_all = np.diff(sm.slice_offsets)
+    nslices = int((widths_all > 0).sum())
+    if (widths_all[nslices:] != 0).any():
+        raise AssertionError("zero-width slices must be trailing")
+    nslices = max(nslices, 1)
     nslices_u = nslices
     if force is not None and force.nslices is not None:
         if force.nslices < nslices:
@@ -411,15 +424,32 @@ def _pack_routed_tail(
         if (first_pos < 0).any():
             raise AssertionError("row without a first segment")
         Ty = _round_up(max(-(-nrows_out // TILE), nslices_u), 128)
+        # Rows whose (zero-length) first segment sorts beyond the
+        # effective slices fall outside the shrunken y-route; they route
+        # from arbitrary free positions and a fused row mask zeroes
+        # them after the route (they are empty rows, y == 0).
+        in_range = first_pos < Ty * TILE
+        dropped = np.flatnonzero(~in_range)
         ypern = np.empty(Ty * TILE, dtype=np.int64)
-        ypern[:nrows] = first_pos
+        ypern[:nrows] = np.where(in_range, first_pos, -1)
         # trash: all remaining source positions (extra segments, padding
         # lanes, positions beyond the real slices).  Rows [nrows,
         # nrows_out) are geometry padding (dist shards): their outputs
         # are never read back, so trash positions are fine there too.
         used = np.zeros(Ty * TILE, dtype=bool)
-        used[first_pos] = True
-        ypern[nrows:] = np.flatnonzero(~used)[: Ty * TILE - nrows]
+        used[first_pos[in_range]] = True
+        free = np.flatnonzero(~used)
+        ypern[dropped] = free[: dropped.shape[0]]
+        ypern[nrows:] = free[
+            dropped.shape[0] : dropped.shape[0] + Ty * TILE - nrows
+        ]
+        if dropped.shape[0] or force is not None:
+            # force: dist shards need uniform plane shapes, so forced
+            # geometries always carry the (possibly all-ones) mask.
+            ymask = np.ones(nrows_out, dtype=np.float32)
+            ymask[dropped] = 0.0
+        else:
+            ymask = np.zeros(0, dtype=np.float32)
         from cvr_tpu.ops.pallas_route import route_arrays_from_perm
 
         y_ra = route_arrays_from_perm(ypern, n=nrows_out)
@@ -456,6 +486,7 @@ def _pack_routed_tail(
         y_ra=y_ra,
         extra_src=extra_src,
         extra_row=extra_row,
+        ymask=ymask,
         seg_blk=seg_blk,
         ycall_rows=ycall_rows,
         shape=sm.shape,
@@ -484,7 +515,7 @@ def save_routed(sr: SellRouted, path) -> None:
         path,
         w8=sr.w8, li=sr.li, seg_blk=sr.seg_blk, ycall_rows=sr.ycall_rows,
         vals_ss=sr.vals_ss, p3=sr.p3, emit=sr.emit,
-        extra_src=sr.extra_src, extra_row=sr.extra_row,
+        extra_src=sr.extra_src, extra_row=sr.extra_row, ymask=sr.ymask,
         shape=np.asarray(sr.shape), nnz=np.int64(sr.nnz), T=np.int64(sr.T),
         S=np.int64(sr.S), S_pad=np.int64(sr.S_pad),
         nslices=np.int64(sr.nslices), segw=np.int64(sr.segw),
@@ -519,7 +550,9 @@ def load_routed(path) -> SellRouted:
         ycall_rows=z["ycall_rows"], mid=mid,
         vals_ss=z["vals_ss"], p3=z["p3"],
         emit=z["emit"], y_ra=y_ra, extra_src=z["extra_src"],
-        extra_row=z["extra_row"], shape=tuple(int(v) for v in z["shape"]),
+        extra_row=z["extra_row"],
+        ymask=z["ymask"] if "ymask" in z else np.zeros(0, np.float32),
+        shape=tuple(int(v) for v in z["shape"]),
         nnz=int(z["nnz"]), T=int(z["T"]), S=int(z["S"]),
         S_pad=int(z["S_pad"]), nslices=int(z["nslices"]),
         segw=int(z["segw"]), n_segs=int(z["n_segs"]),

@@ -50,6 +50,7 @@ from cvr_tpu.ops.pallas_route import _mid_fused_call, use_interpret
         "yroute",
         "extra_src",
         "extra_row",
+        "ymask",
     ],
     meta_fields=[
         "shape", "T", "S", "S_pad", "nslices", "segw", "n_segs",
@@ -70,6 +71,7 @@ class SellRoutedDevice:
     ycall_rows: tuple
     extra_src: jax.Array
     extra_row: jax.Array
+    ymask: jax.Array  # (nrows_out,) f32 row mask, (0,) when unneeded
     shape: tuple[int, int]
     T: int
     S: int
@@ -96,6 +98,7 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
         ),
         extra_src=put(sr.extra_src),
         extra_row=put(sr.extra_row),
+        ymask=put(sr.ymask),
         shape=sr.shape,
         T=sr.T,
         S=sr.S,
@@ -155,6 +158,10 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     yT = sd.yroute.Tp
     ysp = jnp.pad(ys, ((0, 0), (0, yT * 1 - sd.nslices), (0, 0)))
     y = apply_route_stream(sd.yroute, ysp)
+    if sd.ymask.shape[0]:
+        # empty rows whose segments sorted beyond the effective slices
+        # route from arbitrary positions; zero them (fused elementwise)
+        y = y * sd.ymask
     if sd.extra_src.shape[0]:
         # extra_src indexes the padded stream (8, yT, 128) flat.
         y = y.at[sd.extra_row].add(

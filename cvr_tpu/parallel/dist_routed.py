@@ -183,6 +183,7 @@ def dist_routed_pack(
         "y_s3": np.stack([sr.y_ra["s3"] for sr in srs]),
         "extra_src": np.stack([sr.extra_src.astype(np.int32) for sr in srs]),
         "extra_row": np.stack([sr.extra_row.astype(np.int32) for sr in srs]),
+        "ymask": np.stack([sr.ymask for sr in srs]),
     }
     for k in _MID_KEYS:
         if k in s0.mid:
@@ -272,6 +273,7 @@ def _local_device(dm: DistRoutedMatrix, pl: dict) -> SellRoutedDevice:
         ycall_rows=m["ycall_rows"],
         extra_src=pl["extra_src"][0],
         extra_row=pl["extra_row"][0],
+        ymask=pl["ymask"][0],
         shape=(dm.rows_max, dm.shape[1]),
         T=m["T"],
         S=m["S_pad"],

@@ -152,3 +152,38 @@ def test_routed_multisegment_x_table():
         row_scale=spmv_row_scale(csr, x),
     )
     assert ok, (nbad, maxrel)
+
+
+def test_routed_mostly_empty_rows_flat_yroute():
+    """Matrices where most rows are empty (61% on web-Google-like) now
+    pack with the EFFECTIVE slice count: trailing zero-width slices are
+    dropped, the y-route shrinks (flat when Ty fits 1024), and rows
+    routed from arbitrary positions are zeroed by the fused row mask."""
+    import numpy as np
+
+    from cvr_tpu.formats.coo import COOMatrix
+    from cvr_tpu.formats.sell_routed import sell_pack_routed
+    from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
+    from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    nonempty = rng.choice(n, size=n // 5, replace=False)
+    rows = np.repeat(nonempty, 4).astype(np.int32)
+    cols = rng.integers(0, n, size=rows.shape[0]).astype(np.int32)
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    coo = COOMatrix(rows=rows, cols=cols, vals=vals, shape=(n, n))
+    coo = coo.sum_duplicates()
+    csr = coo.to_csr()
+    sr = sell_pack_routed(csr)
+    assert sr.ymask.shape[0] in (0, n)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_routed(to_device_routed(sr), x))
+    ok, nbad, mx = verify(
+        y, spmv_golden_numpy(csr, x),
+        rtol=1e-6, row_scale=spmv_row_scale(csr, x),
+    )
+    assert ok, (nbad, mx)
+    # empty rows must be exactly zero
+    empty = np.setdiff1d(np.arange(n), nonempty)
+    assert (y[empty] == 0).all()
