@@ -30,6 +30,12 @@ def main() -> int:
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
+    # Start faulting the allocator arena now, overlapped with matrix
+    # generation and jax/XLA startup (see cvr_tpu/utils/memarena.py).
+    from cvr_tpu.utils import memarena
+
+    memarena.warm()
+
     from cvr_tpu.bench.harness import run_spmv_benchmark
     from cvr_tpu.bench.synthetic import rmat_matrix, web_google_like
 

@@ -239,6 +239,13 @@ def run_spmv_benchmark(
         spmv_row_scale,
         verify,
     )
+    from cvr_tpu.utils import memarena
+
+    # Lazily-backed VM memory makes cold numpy temporaries ~100x slow
+    # (utils/memarena.py); warm the allocator arena before the convert
+    # timer so the pack measures the algorithm, not the hypervisor.
+    memarena.warm()
+    memarena.wait()
 
     chip = chip or detect_chip()
     csr = coo.to_csr()

@@ -402,6 +402,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from cvr_tpu.utils import memarena
+
+    memarena.warm()  # overlap arena faulting with I/O + jax startup
     return args.fn(args)
 
 

@@ -46,6 +46,10 @@ def main() -> int:
         "--matrix", default=None, choices=[None, "rmat", "banded"]
     )
     args = ap.parse_args()
+
+    from cvr_tpu.utils import memarena
+
+    memarena.warm()
     if args.matrix is None:
         args.matrix = "rmat" if args.impl == "routed" else "banded"
 

@@ -90,6 +90,10 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    from cvr_tpu.utils import memarena
+
+    memarena.warm()
+
     from cvr_tpu.bench.harness import run_spmv_benchmark
     from cvr_tpu.io.mmio import read_matrix_market
     from cvr_tpu.utils.report import append_jsonl, append_result
