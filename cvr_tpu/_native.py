@@ -28,6 +28,7 @@ _i64 = ctypes.c_int64
 _i32 = ctypes.c_int32
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
@@ -131,6 +132,15 @@ def get_lib():
         _i64, _i64, _i64p, _i32p, _i64, _i64, _i64, _i64p, _i64,
         _i32p, _i16p, _i32p, _i32p,
     ]
+    lib.cvr_stream_count2.restype = _i64
+    lib.cvr_stream_count2.argtypes = [
+        _i64, _i64, _i64p, _i32p, _i64, _i64, _i64, _i64p,
+    ]
+    lib.cvr_stream_fill2.restype = ctypes.c_int
+    lib.cvr_stream_fill2.argtypes = [
+        _i64, _i64, _i64p, _i32p, _i64, _i64, _i64, _i64p, _i64,
+        _i32p, _i16p, _i32p, _i8p, _i32p,
+    ]
     lib.cvr_euler_color_perm.restype = ctypes.c_int
     lib.cvr_euler_color_perm.argtypes = [_i64, _i32p, _i64, _i32p]
     lib.cvr_route_planes_fused.restype = ctypes.c_int
@@ -159,7 +169,7 @@ def get_lib():
         _i64, _i32p, _i64, _i64, _i64, ctypes.c_void_p, _i16p, _i32p,
         _i16p,
     ]
-    if lib.cvr_version() != 13:
+    if lib.cvr_version() != 14:
         return None
     _LIB = lib
     return _LIB
@@ -500,6 +510,53 @@ def stream_build_native(
     if rc != 0:
         raise NativeError(native_error(lib))
     return perm, li_flat, w8, seg_blk, T, T_src_p
+
+
+def stream_build2_native(
+    rmap, cols_plane, S_padded: int, nsw_total: int, segw: int, TB: int,
+    force_T: int = 0,
+):
+    """Subwindow-granular routed-pack stream builder (v10).
+
+    Tiles slide at 128-column granularity: far fewer fillers than the
+    window-aligned v9 builder, and each tile carries its gather-candidate
+    count for the expand kernel's class dispatch.  ``segw`` stays in
+    1024-column windows (segw * 8 subwindows per x segment).
+
+    Returns (perm int32[T*1024], li_flat int16[T*1024],
+    w8 int32[T] segment-relative sublane bases, cand int8[T],
+    seg_blk int32[T//TB], T, T_src_p).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    rmap = np.ascontiguousarray(rmap, dtype=np.int64)
+    cols_plane = np.ascontiguousarray(cols_plane, dtype=np.int32)
+    S = rmap.shape[0]
+    segw8 = segw * 8
+    swcnt = np.empty(nsw_total, dtype=np.int64)
+    T_src_p = int(
+        lib.cvr_stream_count2(
+            S, S_padded, rmap, cols_plane, nsw_total, segw8, TB, swcnt
+        )
+    )
+    T = -(-max(T_src_p, S_padded) // 1024) * 1024
+    if force_T:
+        if force_T < T:
+            raise ValueError(f"force_T {force_T} < required T {T}")
+        T = force_T
+    perm = np.empty(T * 1024, dtype=np.int32)
+    li_flat = np.empty(T * 1024, dtype=np.int16)
+    w8 = np.empty(T, dtype=np.int32)
+    cand = np.empty(T, dtype=np.int8)
+    seg_blk = np.empty(T // TB, dtype=np.int32)
+    rc = lib.cvr_stream_fill2(
+        S, S_padded, rmap, cols_plane, nsw_total, segw8, TB, swcnt, T,
+        perm, li_flat, w8, cand, seg_blk,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return perm, li_flat, w8, cand, seg_blk, T, T_src_p
 
 
 def euler_color_perm_native(perm, T: int):

@@ -68,9 +68,10 @@ class SellRouted:
     """Host-side routed-SpMV artifact (NumPy planes; see to_device)."""
 
     # expand schedule
-    w8: np.ndarray  # (T,) int32 segment-relative window indices
+    w8: np.ndarray  # (T,) int32 segment-relative SUBLANE window bases
     li: np.ndarray  # (8, T, 128) int16 in-window offsets (stage-1 fused)
     seg_blk: np.ndarray  # (T // TB,) int32 x-segment per tile block
+    gcls: np.ndarray  # (T // 8,) int32 gather class per 8-tile group
     # middle route stage planes (see pallas_route.middle_pass)
     mid: dict
     # reduce pass
@@ -78,6 +79,10 @@ class SellRouted:
     p3: np.ndarray  # (8, S_pad, 128) int16 stage-3 plane
     emit: np.ndarray  # (S_pad,) int32 group-local slice id on ends, -1 else
     ycall_rows: np.ndarray  # (n_ycalls, 2) int64 padded (start, rows)
+    # regular-width regions: (grp, row0, n_rows, w, slice_rel) per row —
+    # runs of equal slice width w in {1,2,4,8} whose reduce skips the
+    # emission sweep entirely (ops/pallas_route.reduce_m3_regular)
+    regions: np.ndarray  # (n_regions, 5) int64
     # y combine
     y_ra: dict  # route_arrays for the y-route (y_sorted -> natural rows)
     extra_src: np.ndarray  # (n_extra,) int64 y_sorted flat positions
@@ -167,49 +172,63 @@ def pack_routed(
         nslices_u = force.nslices
     # Reduce-call grouping: YB slices per call (the per-call y block must
     # fit VMEM); each group's plane-row range is padded with zero rows to
-    # a CH multiple so the reduce grid tiles cleanly.
-    n_ycalls = max(1, -(-nslices_u // YB))
+    # a CH multiple so the reduce grid tiles cleanly.  Natural packs also
+    # plan regular-width regions (runs of equal slice width in {1,2,4,8}
+    # whose reduce skips the emission sweep), inserting up to w-1
+    # alignment rows before a region so its slice boundaries land on the
+    # CH grid.
     offs = sm.slice_offsets.astype(np.int64)
-    gstart = offs[np.minimum(np.arange(n_ycalls) * YB, nslices)]
-    gend = offs[np.minimum((np.arange(n_ycalls) + 1) * YB, nslices)]
-    rc = gend - gstart
-    rcp = -(-rc // CH) * CH
-    if force is not None and force.rcp is not None:
-        frcp = np.asarray(force.rcp, dtype=np.int64)
-        if frcp.shape[0] != n_ycalls or (frcp < rcp).any():
-            raise ValueError("force.rcp must cover natural group rows")
-        rcp = frcp
-    gshift = np.zeros(n_ycalls, dtype=np.int64)
-    np.cumsum((rcp - rc)[:-1], out=gshift[1:])
-    # old plane row -> padded plane row
-    grp_of_row = np.searchsorted(gend, np.arange(S), side="right")
-    rmap = np.arange(S, dtype=np.int64) + gshift[
-        np.minimum(grp_of_row, n_ycalls - 1)
-    ]
-    S_padded = int(rcp.sum()) if S or (force is not None) else 0
+    rmap, ycall_rows, regions, S_padded = _plan_layout(
+        offs, nslices, nslices_u, S, YB, CH, force
+    )
     N_plane = S_padded * TILE
     force_T = 0 if force is None or force.T is None else int(force.T)
 
     from cvr_tpu import _native
 
-    if _native.available() and hasattr(_native, "stream_build_native"):
-        # Native fast path: counting sort by 1024-column window (only
-        # window granularity matters for the expand gather), per-segment
-        # TB padding, route perm, Euler coloring and fused stage planes —
-        # each a single O(nnz) native pass.  Mirrors how the reference's
-        # converter is itself optimized native code whose cost is a
-        # first-class metric (spmv.cpp:565-1014, timed at :575/:1009).
+    if _native.available() and hasattr(_native, "stream_build2_native"):
+        # Native fast path (v10): counting sort at SUBWINDOW (128-column)
+        # granularity with sliding tile bases — far fewer fillers than
+        # window-aligned cutting, and each tile carries its
+        # gather-candidate count.  Tiles are then sorted by candidate
+        # class WITHIN their x segment (free: the route perm absorbs any
+        # tile order, and the expand kernel's x block only depends on the
+        # segment) so 8-tile groups dispatch homogeneous 1/2/4/8-gather
+        # classes.  Mirrors how the reference's converter is itself
+        # optimized native code whose cost is a first-class metric
+        # (spmv.cpp:565-1014, timed at :575/:1009).
         nwin_total = -(-max(ncols, 1) // 1024)
         segw = min(SEGW, _round_up(nwin_total, 8))
         n_segs = -(-nwin_total // segw)
+        nsw_total = segw * 8 * n_segs  # subwindows incl. segment round-up
         with pt.phase("stream"):
-            perm, li_flat, w8_arr, seg_blk, T, T_src_p = (
-                _native.stream_build_native(
-                    rmap, sm.cols_plane, S_padded, nwin_total, segw, TB,
+            perm, li_flat, w8_arr, cand, seg_blk, T, T_src_p = (
+                _native.stream_build2_native(
+                    rmap, sm.cols_plane, S_padded, nsw_total, segw, TB,
                     force_T,
                 )
             )
             _check_T(T)
+            # class-sort tiles within segments
+            seg_of_tile = np.repeat(seg_blk, TB)
+            cls_tile = np.where(
+                cand <= 1, 1, np.where(cand <= 2, 2, np.where(cand <= 4, 4, 8))
+            ).astype(np.int32)
+            order = np.lexsort(
+                (np.arange(T), cls_tile, seg_of_tile)
+            ).astype(np.int32)
+            inv = np.empty(T, dtype=np.int32)
+            inv[order] = np.arange(T, dtype=np.int32)
+            w8_arr = np.ascontiguousarray(w8_arr[order])
+            cls_tile = cls_tile[order]
+            li_flat = np.ascontiguousarray(
+                li_flat.reshape(T, TILE)[order]
+            ).reshape(-1)
+            perm = (inv[perm >> 10].astype(np.int32) << 10) | (perm & 1023)
+            seg_blk = np.ascontiguousarray(seg_of_tile[order][::TB])
+            gcls = np.ascontiguousarray(
+                cls_tile.reshape(-1, 8).max(axis=1).astype(np.int32)
+            )
         with pt.phase("route_plan"):
             # one fused native call: BFS Euler coloring with the plane
             # emission folded into its final level (no colors array, no
@@ -221,9 +240,9 @@ def pack_routed(
         with pt.phase("fuse_planes"):
             mid = middle_planes_from(mid_arr, T)
         return _pack_routed_tail(
-            sm, pt, force, offs, gstart, gshift, rcp, rmap,
+            sm, pt, force, offs, ycall_rows, regions, rmap,
             nslices, nslices_u, S_padded, w8_arr, li_ss, seg_blk, mid,
-            p3_ss, T, n_segs, segw, n_fillers,
+            p3_ss, T, n_segs, segw, n_fillers, gcls,
         )
 
     with pt.phase("expand_tiles"):
@@ -292,10 +311,14 @@ def pack_routed(
         # source stream arrays, filler slots = -1 (vectorized fill)
         src_pos = np.full(T * TILE, -1, dtype=np.int64)
         li_flat = np.zeros(T * TILE, dtype=np.int16)
+        # w8 carries segment-relative SUBLANE bases (128-column
+        # granularity); aligned windows are the *8 special case, with
+        # every tile in the full 8-candidate gather class.
         w8_arr = np.zeros(T, dtype=np.int32)
         w8_arr[tile_new] = (
-            win_of_tile - seg_of_tile * segw
+            (win_of_tile - seg_of_tile * segw) * 8
         ).astype(np.int32)
+        gcls = np.full(T // 8, 8, dtype=np.int32)
         seg_blk = np.zeros(T // TB, dtype=np.int32)
         seg_end_blk = (seg_new_start + seg_padded) // TB
         for s in range(n_segs):  # n_segs is tiny
@@ -362,9 +385,100 @@ def pack_routed(
         )
 
     return _pack_routed_tail(
-        sm, pt, force, offs, gstart, gshift, rcp, rmap,
+        sm, pt, force, offs, ycall_rows, regions, rmap,
         nslices, nslices_u, S_padded, w8_arr, li_ss, seg_blk, mid, p3_ss,
-        T, n_segs, segw, int((~real).sum()),
+        T, n_segs, segw, int((~real).sum()), gcls,
+    )
+
+
+def _plan_layout(offs, nslices, nslices_u, S, YB, CH, force):
+    """Padded plane layout: row map, reduce-call ranges and regular-width
+    regions.
+
+    Natural packs walk the (length-sorted, so width-run-contiguous)
+    slices group by group; a run of >= CH/w slices of equal width w in
+    {1, 2, 4, 8} becomes a REGION — up to w-1 zero rows are inserted
+    first so its slice boundaries land on the CH grid, and the region's
+    CH-aligned interior skips the reduce kernel's emission sweep
+    (ops/pallas_route.reduce_m3_regular).  Forced geometries (dist
+    shards, which need one static call structure) keep the plain
+    group-tail padding with no regions.
+
+    Returns (rmap [S] old->padded plane row, ycall_rows (n,2) int64,
+    regions (m,5) int64 rows (grp, row0, n_rows, w, slice_rel), S_padded).
+    """
+    n_ycalls = max(1, -(-nslices_u // YB))
+    no_regions = np.zeros((0, 5), dtype=np.int64)
+    if force is not None or S == 0:
+        gstart = offs[np.minimum(np.arange(n_ycalls) * YB, nslices)]
+        gend = offs[np.minimum((np.arange(n_ycalls) + 1) * YB, nslices)]
+        rc = gend - gstart
+        rcp = -(-rc // CH) * CH
+        if force is not None and force.rcp is not None:
+            frcp = np.asarray(force.rcp, dtype=np.int64)
+            if frcp.shape[0] != n_ycalls or (frcp < rcp).any():
+                raise ValueError("force.rcp must cover natural group rows")
+            rcp = frcp
+        gshift = np.zeros(n_ycalls, dtype=np.int64)
+        np.cumsum((rcp - rc)[:-1], out=gshift[1:])
+        grp_of_row = np.searchsorted(gend, np.arange(S), side="right")
+        rmap = np.arange(S, dtype=np.int64) + gshift[
+            np.minimum(grp_of_row, n_ycalls - 1)
+        ]
+        S_padded = int(rcp.sum()) if S or (force is not None) else 0
+        ycall_rows = np.stack([gstart + gshift, rcp], axis=1).astype(
+            np.int64
+        )
+        return rmap, ycall_rows, no_regions, S_padded
+
+    widths = np.diff(offs)[:nslices]
+    cuts = np.flatnonzero(widths[1:] != widths[:-1]) + 1
+    run_ends = np.concatenate((cuts, [nslices]))
+    run_end_of = np.repeat(
+        run_ends, np.diff(np.concatenate(([0], run_ends)))
+    )
+    slice_row = np.zeros(nslices, dtype=np.int64)  # padded slice starts
+    regions = []
+    ycall_rows = np.zeros((n_ycalls, 2), dtype=np.int64)
+    total = 0
+    for g in range(n_ycalls):
+        ycall_rows[g, 0] = total
+        row = total
+        s = g * YB
+        s_end = min((g + 1) * YB, nslices)
+        while s < s_end:
+            sb = min(int(run_end_of[s]), s_end)
+            w = int(widths[s])
+            accepted = False
+            if w in (1, 2, 4, 8) and (sb - s) * w >= CH:
+                pad = (-row) % w
+                ra = row + pad
+                r0 = -(-ra // CH) * CH
+                r1 = (ra + (sb - s) * w) // CH * CH
+                if r1 - r0 >= CH:
+                    accepted = True
+                    slice_row[s:sb] = ra + np.arange(sb - s) * w
+                    regions.append(
+                        (g, r0, r1 - r0, w, s - g * YB + (r0 - ra) // w)
+                    )
+                    row = ra + (sb - s) * w
+            if not accepted:
+                slice_row[s:sb] = row + (offs[s:sb] - offs[s])
+                row += int(offs[sb] - offs[s])
+            s = sb
+        rcp_g = -(-(row - total) // CH) * CH
+        ycall_rows[g, 1] = rcp_g
+        total += rcp_g
+    sig_of_row = (
+        np.searchsorted(offs[: nslices + 1], np.arange(S), side="right") - 1
+    )
+    sig_of_row = np.minimum(sig_of_row, nslices - 1)
+    rmap = slice_row[sig_of_row] + (np.arange(S) - offs[sig_of_row])
+    return (
+        rmap,
+        ycall_rows,
+        np.asarray(regions, dtype=np.int64).reshape(-1, 5),
+        total,
     )
 
 
@@ -382,8 +496,9 @@ def _check_T(T: int) -> None:
 
 
 def _pack_routed_tail(
-    sm, pt, force, offs, gstart, gshift, rcp, rmap, nslices, nslices_u,
+    sm, pt, force, offs, ycall_rows, regions, rmap, nslices, nslices_u,
     S_pad, w8_arr, li_ss, seg_blk, mid, p3_ss, T, n_segs, segw, n_fillers,
+    gcls,
 ) -> SellRouted:
     """Shared reduce-aux + y-route construction (native and numpy paths)."""
     from cvr_tpu.ops.pallas_route import YB
@@ -409,10 +524,6 @@ def _pack_routed_tail(
         nonempty = widths > 0
         sl = np.flatnonzero(nonempty).astype(np.int64)
         emit[rmap[ends[nonempty] - 1]] = (sl % YB).astype(np.int32)
-        # per-call padded row ranges (start, rows) in the padded plane
-        ycall_rows = np.stack(
-            [gstart + gshift, rcp], axis=1
-        ).astype(np.int64)
 
     with pt.phase("y_route"):
         # y_sorted flat position of segment at sorted position g is g.
@@ -479,10 +590,12 @@ def _pack_routed_tail(
     return SellRouted(
         w8=w8_arr,
         li=li_ss,
+        gcls=gcls,
         mid=mid,
         vals_ss=vals_ss,
         p3=p3_ss,
         emit=emit,
+        regions=regions,
         y_ra=y_ra,
         extra_src=extra_src,
         extra_row=extra_row,
@@ -513,7 +626,8 @@ def save_routed(sr: SellRouted, path) -> None:
     ymid_arrays = {f"ymid_{k}": v for k, v in ymid.items() if k not in ("kind", "Tk")}
     np.savez_compressed(
         path,
-        w8=sr.w8, li=sr.li, seg_blk=sr.seg_blk, ycall_rows=sr.ycall_rows,
+        w8=sr.w8, li=sr.li, gcls=sr.gcls, seg_blk=sr.seg_blk,
+        ycall_rows=sr.ycall_rows, regions=sr.regions,
         vals_ss=sr.vals_ss, p3=sr.p3, emit=sr.emit,
         extra_src=sr.extra_src, extra_row=sr.extra_row, ymask=sr.ymask,
         shape=np.asarray(sr.shape), nnz=np.int64(sr.nnz), T=np.int64(sr.T),
@@ -545,8 +659,19 @@ def load_routed(path) -> SellRouted:
         "s1": z["y_s1"], "s3": z["y_s3"], "mid_planes": ymid,
         "T": int(z["y_T"]), "Tp": int(z["y_Tp"]), "n": int(z["y_n"]),
     }
+    # pre-v10 artifacts carry 1024-aligned window indices and no classes
+    if "gcls" in z:
+        w8_l, gcls_l = z["w8"], z["gcls"]
+    else:
+        w8_l = z["w8"] * 8
+        gcls_l = np.full(int(z["T"]) // 8, 8, dtype=np.int32)
     return SellRouted(
-        w8=z["w8"], li=z["li"], seg_blk=z["seg_blk"],
+        w8=w8_l, gcls=gcls_l, li=z["li"], seg_blk=z["seg_blk"],
+        regions=(
+            z["regions"]
+            if "regions" in z
+            else np.zeros((0, 5), dtype=np.int64)
+        ),
         ycall_rows=z["ycall_rows"], mid=mid,
         vals_ss=z["vals_ss"], p3=z["p3"],
         emit=z["emit"], y_ra=y_ra, extra_src=z["extra_src"],

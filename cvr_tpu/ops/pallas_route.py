@@ -280,37 +280,70 @@ def groupperm_ss(data: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 # Windows per x-table segment: the expand kernel sees x through one
-# (SEGW*8, 128) VMEM block (4 MB; Mosaic double-buffers it) selected per
-# grid block via a scalar-prefetched index_map; tiles are column-sorted,
-# so segment switches are monotone and x streams through VMEM exactly
-# once even when ncols*4 bytes far exceeds VMEM.
+# (SEGW*8 + 8, 128) VMEM block (4 MB; Mosaic double-buffers it) selected
+# per grid block via a scalar-prefetched index_map; tiles are
+# column-sorted, so segment switches are monotone and x streams through
+# VMEM exactly once even when ncols*4 bytes far exceeds VMEM.  Segments
+# carry an 8-row (1024-column) halo so a 16-row read at any in-segment
+# sublane base stays in bounds.
 SEGW = 1024
 
 
-def _expand_kernel(w10_ref, seg_ref, li_ref, x2_ref, o_ref):
-    # Mosaic requires dynamic tile-axis indices to be provably 8-aligned:
-    # tiles are processed in groups of 8 (aligned loads/stores) and the x
-    # window base is stored as a segment-relative 1024-column window
-    # INDEX (w10), so base = w10*8 is provably a multiple of 8 rows.
+def _roll_sub(x, shift, interpret: bool):
+    """Dynamic sublane roll: pltpu.roll compiled, jnp.roll in interpret
+    mode (the Mosaic primitive has no interpret lowering for dynamic
+    shifts)."""
+    if interpret:
+        return jnp.roll(x, shift, axis=0)
+    return pltpu.roll(x, shift, axis=0)
+
+
+def _expand_kernel(interpret: bool, w8_ref, gcls_ref, seg_ref, li_ref,
+                   x2_ref, o_ref):
+    # Mosaic requires dynamic sublane slab reads to be provably
+    # 8-aligned; window bases have 128-column (sublane) granularity, so
+    # each tile reads the ALIGNED 16-row slab containing its 8-row
+    # window and rotates it down with one dynamically-shifted roll.
+    # Tiles are class-sorted at pack time: each 8-tile group runs the
+    # 1/2/4/8 gather-candidate branch its widest tile needs (power-law
+    # column-sorted tiles average ~2.2 subwindows, docs/DESIGN.md r3).
     blk = pl.program_id(0)
 
     def tgroup(tg, _):
         t8 = pl.multiple_of(tg * 8, 8)
         li8 = li_ref[:, pl.ds(t8, 8), :].astype(jnp.int32)  # (8,8,128)
-        outs = []
-        for j in range(8):
-            idx = li8[:, j, :]
-            lo = jnp.bitwise_and(idx, 127)
-            hi = jax.lax.shift_right_logical(idx, 7)
-            base = pl.multiple_of(w10_ref[blk * TB + tg * 8 + j] * 8, 8)
-            w = x2_ref[pl.ds(base, 8), :]  # (8,128) window slab
-            acc = jnp.zeros((8, 128), jnp.float32)
-            for s in range(8):
-                op = jnp.broadcast_to(w[s : s + 1, :], (8, 128))
-                cand = jnp.take_along_axis(op, lo, axis=1)
-                acc = jnp.where(hi == s, cand, acc)
-            outs.append(acc)
-        o_ref[:, pl.ds(t8, 8), :] = jnp.stack(outs, axis=1)
+        code = gcls_ref[blk * (TB // 8) + tg]
+
+        def do(ncand):
+            outs = []
+            for j in range(8):
+                idx = li8[:, j, :]
+                lo = jnp.bitwise_and(idx, 127)
+                hi = jax.lax.shift_right_logical(idx, 7)
+                b = w8_ref[blk * TB + tg * 8 + j]
+                a8 = pl.multiple_of(
+                    jax.lax.shift_right_logical(b, 3) * 8, 8
+                )
+                r16 = x2_ref[pl.ds(a8, 16), :]
+                w = _roll_sub(
+                    r16,
+                    jnp.bitwise_and(16 - jnp.bitwise_and(b, 7), 15),
+                    interpret,
+                )
+                acc = jnp.zeros((8, 128), jnp.float32)
+                for s in range(ncand):
+                    op = jnp.broadcast_to(w[s : s + 1, :], (8, 128))
+                    cand = jnp.take_along_axis(op, lo, axis=1)
+                    acc = jnp.where(hi == s, cand, acc)
+                outs.append(acc)
+            o_ref[:, pl.ds(t8, 8), :] = jnp.stack(outs, axis=1)
+
+        for c in (1, 2, 4, 8):
+
+            @pl.when(code == c)
+            def _(c=c):
+                do(c)
+
         return 0
 
     jax.lax.fori_loop(0, TB // 8, tgroup, 0, unroll=False)
@@ -320,57 +353,82 @@ def _expand_kernel(w10_ref, seg_ref, li_ref, x2_ref, o_ref):
 def _expand_call(T: int, n_segs: int, segw: int, interpret: bool):
     grid = T // TB
     spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (8, TB, 128), lambda i, w10, seg: (0, i, 0),
+                (8, TB, 128), lambda i, w8, gc, seg: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (segw * 8, 128),
-                lambda i, w10, seg: (seg[i], 0),
+                (segw * 8 + 8, 128),
+                lambda i, w8, gc, seg: (seg[i], 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (8, TB, 128),
-            lambda i, w10, seg: (0, i, 0),
+            lambda i, w8, gc, seg: (0, i, 0),
             memory_space=pltpu.VMEM,
         ),
     )
 
-    def fn(w10, seg, li, x2):
+    def fn(w8, gcls, seg, li, x2):
         return pl.pallas_call(
-            _expand_kernel,
+            functools.partial(_expand_kernel, interpret),
             grid_spec=spec,
             out_shape=jax.ShapeDtypeStruct((8, T, 128), jnp.float32),
             interpret=interpret,
-        )(w10, seg, li, x2)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024
+            ),
+        )(w8, gcls, seg, li, x2)
 
     return jax.jit(fn)
 
 
+def expand_x_table(
+    x: jax.Array, ncols: int, segw: int, n_segs: int
+) -> jax.Array:
+    """The expand kernel's x table: per-segment row ranges with an 8-row
+    halo (physical stride segw*8 + 8 sublane rows per segment)."""
+    segw8 = segw * 8
+    xp = jnp.pad(x, (0, (n_segs * segw8 + 8) * 128 - ncols)).reshape(
+        -1, 128
+    )
+    if n_segs == 1:
+        return xp
+    return jnp.concatenate(
+        [
+            jax.lax.dynamic_slice_in_dim(xp, s * segw8, segw8 + 8)
+            for s in range(n_segs)
+        ]
+    )
+
+
 def expand(
-    w10: jax.Array, seg: jax.Array, li: jax.Array, x2: jax.Array,
-    segw: int,
+    w8: jax.Array, gcls: jax.Array, seg: jax.Array, li: jax.Array,
+    x2: jax.Array, segw: int,
 ) -> jax.Array:
     """Windowed gather producing the expanded x stream (+ fused stage 1).
 
-    w10: (T,) int32 segment-relative window indices in [0, segw)
-         (window = columns [1024*(seg*segw + w10), +1024));
+    w8:  (T,) int32 segment-relative sublane bases in [0, segw*8)
+         (window = columns [128*(seg*segw*8 + w8), +1024));
+    gcls: (T // 8,) int32 gather class (1/2/4/8) per 8-tile group;
     seg: (T // TB,) int32 x-table segment per grid block (tile blocks
          never straddle segments — the pack pads them to TB);
     li:  (8, T, 128) int16 in [0, 1024) — in-window offsets (stage-1
          composed), stream layout;
-    x2:  (n_segs * segw * 8, 128) f32 — x zero-padded to whole segments.
+    x2:  ((n_segs * (segw*8+8)), 128) f32 from expand_x_table.
     Returns g1 (8, T, 128).
     """
-    T = w10.shape[0]
+    T = w8.shape[0]
     if T % TB:
         raise ValueError("expand tiles must be padded to TB by the pack")
-    n_segs = x2.shape[0] // (segw * 8)
-    return _expand_call(T, n_segs, segw, use_interpret())(w10, seg, li, x2)
+    n_segs = x2.shape[0] // (segw * 8 + 8)
+    return _expand_call(T, n_segs, segw, use_interpret())(
+        w8, gcls, seg, li, x2
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +631,117 @@ def _reduce_m3_call(
         )(emit, gemit, m, m3, vals, p3)
 
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# reduce_m3_regular: the reduce pass over a REGULAR-WIDTH slice region.
+# Length-sorted slices give long runs of equal width w; for w in
+# {1, 2, 4, 8} a run needs no emission sweep at all — each 128-row grid
+# step covers exactly 128/w whole slices, so the per-slice sums are one
+# static reshape-sum and the y rows come out dense and in order.  This
+# removes the reduce pass's sequential per-row branch walk exactly where
+# it is most expensive (narrow slices: road / wiki / social planes).
+# ---------------------------------------------------------------------------
+
+
+def _reduce_m3_regular_kernel(ofs: int, w: int, m_ref, m3_ref, v_ref,
+                              p3_ref, o_ref):
+    idx3 = m3_ref[0].astype(jnp.int32)
+    lo3 = jnp.bitwise_and(idx3, 127)
+    hi3 = jax.lax.shift_right_logical(idx3, 7)
+    g = jnp.zeros((1024, 128), jnp.float32)
+    for s in range(8):
+        cand = jnp.take_along_axis(m_ref[s], lo3, axis=1)
+        g = jnp.where(hi3 == s, cand, g)
+    t2 = jnp.transpose(g.reshape(8, 128, 128), (0, 2, 1))
+
+    rows = []
+    for i in range(8):
+        idx = p3_ref[i].astype(jnp.int32)
+        lo = jnp.bitwise_and(idx, 127)
+        hi = jax.lax.shift_right_logical(idx, 7)
+        acc = jnp.zeros(lo.shape, jnp.float32)
+        for s in range(8):
+            cand = jnp.take_along_axis(t2[s], lo, axis=1)
+            acc = jnp.where(hi == s, cand, acc)
+        rows.append(acc * v_ref[i])
+    p = jnp.stack(rows, axis=0)  # (8, CH, 128)
+    o_ref[...] = p.reshape(8, CH // w, w, 128).sum(axis=2)
+
+
+@functools.lru_cache(maxsize=None)
+def _reduce_m3_regular_call(S_rows: int, w: int, ofs: int, interpret: bool):
+    if CH != 128:
+        raise ValueError("reduce_m3_regular requires CH == 128")
+    if 128 % w or w > 8:
+        raise ValueError("regular width must be in {1, 2, 4, 8}")
+    grid = S_rows // CH
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, 1024, 128),
+                lambda i: (0, (ofs + i) // 8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1024, 128),
+                lambda i: ((ofs + i) % 8, (ofs + i) // 8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, CH // w, 128), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    def fn(m, m3, vals, p3):
+        return pl.pallas_call(
+            functools.partial(_reduce_m3_regular_kernel, ofs, w),
+            grid_spec=spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (8, S_rows // w, 128), jnp.float32
+            ),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024
+            ),
+        )(m, m3, vals, p3)
+
+    return jax.jit(fn)
+
+
+def reduce_m3_regular(
+    m: jax.Array,
+    m3: jax.Array,
+    vals: jax.Array,
+    p3: jax.Array,
+    w: int,
+    ofs: int,
+) -> jax.Array:
+    """Per-slice sums over a width-w regular region (no emission sweep).
+
+    vals/p3: the region's plane-row slices (8, nr, 128), nr a multiple
+    of CH; m/m3: the FULL mstream and M3 planes; w in {1, 2, 4, 8} must
+    divide CH and every slice in the region has exactly w rows.
+    Returns (8, nr // w, 128) slice sums in region slice order.
+    """
+    S_rows = vals.shape[1]
+    if S_rows % CH:
+        raise ValueError("region rows must be a multiple of CH")
+    return _reduce_m3_regular_call(S_rows, w, ofs, use_interpret())(
+        m, m3, vals, p3
+    )
 
 
 def reduce_m3_slices(

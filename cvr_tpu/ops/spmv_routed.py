@@ -27,8 +27,10 @@ from cvr_tpu.ops.pallas_route import (
     apply_route_stream,
     chunksel,
     expand,
+    expand_x_table,
     group_emit_encode,
     mid_to_device,
+    reduce_m3_regular,
     reduce_m3_slices,
     route_to_device,
     stream_to_mstream,
@@ -40,6 +42,7 @@ from cvr_tpu.ops.pallas_route import _mid_fused_call, use_interpret
     jax.tree_util.register_dataclass,
     data_fields=[
         "w8",
+        "gcls",
         "li",
         "seg_blk",
         "mid",
@@ -54,12 +57,13 @@ from cvr_tpu.ops.pallas_route import _mid_fused_call, use_interpret
     ],
     meta_fields=[
         "shape", "T", "S", "S_pad", "nslices", "segw", "n_segs",
-        "ycall_rows",
+        "ycall_rows", "regions",
     ],
 )
 @dataclasses.dataclass(frozen=True)
 class SellRoutedDevice:
     w8: jax.Array
+    gcls: jax.Array
     li: jax.Array
     seg_blk: jax.Array
     mid: RouteMidDevice
@@ -69,6 +73,7 @@ class SellRoutedDevice:
     gemit: jax.Array
     yroute: RouteDevice
     ycall_rows: tuple
+    regions: tuple  # ((grp, row0, n_rows, w, slice_rel), ...) static
     extra_src: jax.Array
     extra_row: jax.Array
     ymask: jax.Array  # (nrows_out,) f32 row mask, (0,) when unneeded
@@ -85,6 +90,7 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
     put = functools.partial(jax.device_put, device=device)
     return SellRoutedDevice(
         w8=put(sr.w8),
+        gcls=put(sr.gcls),
         li=put(sr.li),
         seg_blk=put(sr.seg_blk),
         mid=mid_to_device(sr.mid, device),
@@ -95,6 +101,9 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
         yroute=route_to_device(sr.y_ra, device),
         ycall_rows=tuple(
             (int(a), int(b)) for a, b in np.asarray(sr.ycall_rows)
+        ),
+        regions=tuple(
+            tuple(int(v) for v in row) for row in np.asarray(sr.regions)
         ),
         extra_src=put(sr.extra_src),
         extra_row=put(sr.extra_row),
@@ -113,10 +122,11 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     """y = A @ x via the compiled route (jit-compatible)."""
     nrows, ncols = sd.shape
     x = x.astype(jnp.float32)
-    hrows = sd.n_segs * sd.segw * 8
-    x2 = jnp.pad(x, (0, hrows * 128 - ncols)).reshape(hrows, 128)
+    x2 = expand_x_table(x, ncols, sd.segw, sd.n_segs)
 
-    g1 = expand(sd.w8, sd.seg_blk, sd.li, x2, sd.segw)  # (8, T, 128)
+    g1 = expand(
+        sd.w8, sd.gcls, sd.seg_blk, sd.li, x2, sd.segw
+    )  # (8, T, 128)
     # Route middle up to the mstream (M3 is fused into the reduce).
     Tk = sd.mid.Tk
     if sd.mid.kind == "rec":
@@ -132,14 +142,25 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     from cvr_tpu.ops.pallas_route import CH, YB
 
     parts = []
-    for j, (r0, nr) in enumerate(sd.ycall_rows):
+    for j, (r0g, nrg) in enumerate(sd.ycall_rows):
         nsl = min(YB, sd.nslices - j * YB)
-        if nr == 0:
+        if nrg == 0:
             # a group of zero-width slices (all-empty rows): y is zero
             parts.append(jnp.zeros((8, nsl, 128), jnp.float32))
             continue
-        parts.append(
-            reduce_m3_slices(
+        regs = sorted(r for r in sd.regions if r[0] == j)
+        # irregular subranges = the group's rows minus the regions
+        ir = []
+        cur = r0g
+        for _, rr0, rnr, _w, _s in regs:
+            if rr0 > cur:
+                ir.append((cur, rr0 - cur))
+            cur = rr0 + rnr
+        if cur < r0g + nrg:
+            ir.append((cur, r0g + nrg - cur))
+        ys_g = None
+        for r0, nr in ir:
+            piece = reduce_m3_slices(
                 sd.emit[r0 : r0 + nr],
                 sd.gemit[r0 // 8 : (r0 + nr) // 8],
                 m,
@@ -149,7 +170,20 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
                 nsl,
                 ofs=r0 // CH,
             )
-        )
+            ys_g = piece if ys_g is None else ys_g + piece
+        if ys_g is None:
+            ys_g = jnp.zeros((8, nsl, 128), jnp.float32)
+        for _, r0, nr, w, srel in regs:
+            piece = reduce_m3_regular(
+                m,
+                m3,
+                sd.vals_ss[:, r0 : r0 + nr],
+                sd.p3[:, r0 : r0 + nr],
+                w,
+                ofs=r0 // CH,
+            )
+            ys_g = jax.lax.dynamic_update_slice(ys_g, piece, (0, srel, 0))
+        parts.append(ys_g)
     ys = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
     # y-route: per-slice lane sums -> natural row order.  The reduce

@@ -117,10 +117,11 @@ def dist_routed_pack(
     segw = min(SEGW, -(-nwin_total // 8) * 8)
     # per-shard stream tile count under the unified S_pad
     T_u = S_pad_u
-    if _native.available() and hasattr(_native, "stream_build_native"):
+    n_segs = -(-nwin_total // segw)
+    if _native.available() and hasattr(_native, "stream_build2_native"):
         lib = _native.get_lib()
+        nsw_total = segw * 8 * n_segs
         for sm in sms:
-            rcp_nat = _natural_rcp(sm, n_ycalls, YB, CH)
             gshift = np.zeros(n_ycalls, dtype=np.int64)
             offs = sm.slice_offsets.astype(np.int64)
             ns = sm.nslices
@@ -131,13 +132,13 @@ def dist_routed_pack(
             rmap = np.arange(sm.n_slots, dtype=np.int64) + gshift[
                 np.minimum(grp, n_ycalls - 1)
             ]
-            wcnt = np.empty(nwin_total, dtype=np.int64)
+            swcnt = np.empty(nsw_total, dtype=np.int64)
             T_src_p = int(
-                lib.cvr_stream_count(
+                lib.cvr_stream_count2(
                     sm.n_slots, S_pad_u,
                     np.ascontiguousarray(rmap, dtype=np.int64),
                     np.ascontiguousarray(sm.cols_plane, dtype=np.int32),
-                    nwin_total, segw, TB, wcnt,
+                    nsw_total, segw * 8, TB, swcnt,
                 )
             )
             T_u = max(T_u, T_src_p)
@@ -147,7 +148,7 @@ def dist_routed_pack(
         # partial tile, and each segment pads to a TB multiple
         T_u = max(
             T_u,
-            S_pad_u + nwin_total + -(-nwin_total // segw) * TB,
+            S_pad_u + nwin_total + n_segs * TB,
         )
     T_u = -(-T_u // TILE) * TILE
 
@@ -173,6 +174,7 @@ def dist_routed_pack(
 
     planes_np = {
         "w8": np.stack([sr.w8 for sr in srs]),
+        "gcls": np.stack([sr.gcls for sr in srs]),
         "li": np.stack([sr.li for sr in srs]),
         "seg_blk": np.stack([sr.seg_blk for sr in srs]),
         "vals_ss": np.stack([sr.vals_ss for sr in srs]),
@@ -255,6 +257,7 @@ def _local_device(dm: DistRoutedMatrix, pl: dict) -> SellRoutedDevice:
 
     return SellRoutedDevice(
         w8=pl["w8"][0],
+        gcls=pl["gcls"][0],
         li=pl["li"][0],
         seg_blk=pl["seg_blk"][0],
         mid=midp("mid_", m["mid_kind"], m["mid_Tk"]),
@@ -271,6 +274,7 @@ def _local_device(dm: DistRoutedMatrix, pl: dict) -> SellRoutedDevice:
             n=m["y_n"],
         ),
         ycall_rows=m["ycall_rows"],
+        regions=(),  # forced geometries pack without regular regions
         extra_src=pl["extra_src"][0],
         extra_row=pl["extra_row"][0],
         ymask=pl["ymask"][0],

@@ -1154,6 +1154,175 @@ int cvr_stream_fill(int64_t S, int64_t S_padded, const int64_t* rmap,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// v10 (round 3): subwindow-granular stream builder.
+//
+// The v9 builder cuts the column-sorted stream at aligned 1024-column
+// window boundaries: every window boundary pads its last tile to 1024
+// slots (~19% fillers on web-Google-like) and every tile needs the full
+// 8 gather+select pairs in the expand kernel.  Column-sorted power-law
+// tiles are much narrower than a window (mean ~2.7 of its 8 subwindows),
+// so v10 slides tile bases at 128-column (subwindow) granularity:
+//
+//   * tiles cut ONLY when 1024 elements span more than 8 subwindows
+//     (sparse column regions) or at x-segment boundaries — fillers all
+//     but vanish and T (route size) shrinks with them;
+//   * each tile records its CANDIDATE COUNT (subwindows spanned), which
+//     the expand kernel dispatches per 8-tile group into 2/4/8
+//     gather-class branches;
+//   * w8 becomes a segment-relative SUBLANE index (128-column
+//     granularity; the v9 aligned case is w8_v9 * 8).
+// ---------------------------------------------------------------------------
+
+// Pass 1: per-subwindow counts + padded tile count.  swcnt has
+// nsw_total entries; segw8 = subwindows per x segment (a multiple of 8).
+int64_t cvr_stream_count2(int64_t S, int64_t S_padded, const int64_t* rmap,
+                          const int32_t* cols_plane, int64_t nsw_total,
+                          int64_t segw8, int64_t TB, int64_t* swcnt) {
+  (void)rmap;
+  for (int64_t w = 0; w < nsw_total; w++) swcnt[w] = 0;
+  swcnt[0] += 1024 * (S_padded - S);  // inserted zero rows carry col 0
+  const int64_t n = S * 1024;
+  for (int64_t i = 0; i < n; i++) swcnt[cols_plane[i] >> 7]++;
+  const int64_t n_segs = (nsw_total + segw8 - 1) / segw8;
+  int64_t T_src_p = 0;
+  for (int64_t s = 0; s < n_segs; s++) {
+    int64_t sw1 = std::min(nsw_total, (s + 1) * segw8);
+    int64_t tiles = 0, filled = 0, base = -1;
+    for (int64_t sw = s * segw8; sw < sw1; sw++) {
+      int64_t c = swcnt[sw];
+      while (c > 0) {
+        if (filled > 0 && sw - base >= 8) {
+          tiles++;  // close short (fillers)
+          filled = 0;
+        }
+        if (filled == 0) base = sw;
+        int64_t take = std::min((int64_t)1024 - filled, c);
+        filled += take;
+        c -= take;
+        if (filled == 1024) {
+          tiles++;
+          filled = 0;
+        }
+      }
+    }
+    if (filled > 0) tiles++;
+    T_src_p += ((tiles + TB - 1) / TB) * TB;
+  }
+  return T_src_p;
+}
+
+// Pass 2: stream arrays + route perm at subwindow granularity.
+// w8[t] = segment-relative sublane base; cand[t] = subwindows spanned.
+int cvr_stream_fill2(int64_t S, int64_t S_padded, const int64_t* rmap,
+                     const int32_t* cols_plane, int64_t nsw_total,
+                     int64_t segw8, int64_t TB, const int64_t* swcnt,
+                     int64_t T, int32_t* perm, int16_t* li_flat,
+                     int32_t* w8, int8_t* cand, int32_t* seg_blk) {
+  const int64_t n_segs = (nsw_total + segw8 - 1) / segw8;
+  const int64_t NT = T * 1024;
+  const int64_t N_plane = S_padded * 1024;
+  std::vector<int64_t> swpos((size_t)nsw_total, -1);
+  std::vector<int32_t> tbase((size_t)T, 0);  // absolute base subwindow
+  for (int64_t t = 0; t < T; t++) {
+    w8[t] = 0;
+    cand[t] = 1;
+  }
+  int64_t t = 0;
+  for (int64_t s = 0; s < n_segs; s++) {
+    const int64_t t0 = t;
+    const int64_t sw1 = std::min(nsw_total, (s + 1) * segw8);
+    int64_t filled = 0, base = -1;
+    for (int64_t sw = s * segw8; sw < sw1; sw++) {
+      int64_t c = swcnt[sw];
+      bool first_chunk = true;
+      while (c > 0) {
+        if (filled > 0 && sw - base >= 8) {
+          t++;
+          filled = 0;
+        }
+        if (filled == 0) {
+          base = sw;
+          if (t >= T) return fail("stream_fill2: T too small");
+          tbase[(size_t)t] = (int32_t)base;
+          w8[t] = (int32_t)(base - s * segw8);
+          cand[t] = 1;
+        }
+        if (first_chunk) {
+          swpos[(size_t)sw] = t * 1024 + filled;
+          first_chunk = false;
+        }
+        int8_t cd = (int8_t)(sw - base + 1);
+        if (cd > cand[t]) cand[t] = cd;
+        int64_t take = std::min((int64_t)1024 - filled, c);
+        filled += take;
+        c -= take;
+        if (filled == 1024) {
+          t++;
+          filled = 0;
+        }
+      }
+    }
+    if (filled > 0) t++;
+    const int64_t tp = t0 + ((t - t0 + TB - 1) / TB) * TB;
+    if (tp > T) return fail("stream_fill2: T too small (segment pad)");
+    for (int64_t b = t0 / TB; b < tp / TB; b++) seg_blk[b] = (int32_t)s;
+    t = tp;
+  }
+  for (int64_t b = t / TB; b < T / TB; b++) seg_blk[b] = 0;
+
+  // Pass 3: element scatter.  Within one subwindow, stream positions are
+  // contiguous (1024-fill closes keep the cursor running into the next
+  // tile; short closes only happen at a subwindow's first chunk).
+  std::memset(li_flat, 0, (size_t)NT * sizeof(int16_t));
+  std::vector<int32_t> src_pos((size_t)NT, -1);
+  std::vector<int64_t> cursor(swpos);
+  std::vector<uint8_t> covered((size_t)S_padded, 0);
+  for (int64_t r = 0; r < S; r++) {
+    covered[(size_t)rmap[r]] = 1;
+    const int32_t* row = cols_plane + r * 1024;
+    const int64_t pbase = rmap[r] * 1024;
+    for (int64_t j = 0; j < 1024; j++) {
+      const int32_t c = row[j];
+      const int64_t sw = c >> 7;
+      const int64_t pos = cursor[(size_t)sw]++;
+      src_pos[(size_t)pos] = (int32_t)(pbase + j);
+      li_flat[pos] = (int16_t)(c - (tbase[(size_t)(pos >> 10)] << 7));
+    }
+  }
+  for (int64_t r = 0; r < S_padded; r++) {
+    if (covered[(size_t)r]) continue;
+    const int64_t pbase = r * 1024;
+    for (int64_t j = 0; j < 1024; j++) {
+      const int64_t pos = cursor[0]++;
+      src_pos[(size_t)pos] = (int32_t)(pbase + j);
+      li_flat[pos] = (int16_t)(-(tbase[(size_t)(pos >> 10)] << 7));
+    }
+  }
+  // fillers: repeat the tile's last real offset (keeps gathers in-window)
+  for (int64_t tt = 0; tt < T; tt++) {
+    int16_t last = 0;
+    const int64_t p0 = tt * 1024;
+    for (int64_t p = p0; p < p0 + 1024; p++) {
+      if (src_pos[(size_t)p] >= 0)
+        last = li_flat[p];
+      else
+        li_flat[p] = last;
+    }
+  }
+  // perm: dest plane position -> stream position; trash fills the tail
+  int64_t jtrash = N_plane;
+  for (int64_t pos = 0; pos < NT; pos++) {
+    const int32_t p = src_pos[(size_t)pos];
+    if (p >= 0)
+      perm[p] = (int32_t)pos;
+    else
+      perm[jtrash++] = (int32_t)pos;
+  }
+  if (jtrash != NT) return fail("stream_fill2: trash count mismatch");
+  return 0;
+}
+
 // Iterative Euler edge coloring where dst(edge e) = orig_id(e) >> 10.
 // Stores only (usrc, gid) per edge; partition ping-pongs through scratch.
 //
@@ -1978,6 +2147,6 @@ int cvr_dia_fill(int64_t nrows, int64_t nnz, const int64_t* rowptr,
   return 0;
 }
 
-int cvr_version() { return 13; }
+int cvr_version() { return 14; }
 
 }  // extern "C"

@@ -115,12 +115,9 @@ def main() -> int:
         )
         sd = to_device_routed(sr)
     ncols = sd.shape[1]
-    hrows = (
-        sd.n_segs * sd.segw * 8 if args.impl == "routed" else 0
-    )
 
     def x2_of(x):
-        return jnp.pad(x, (0, hrows * 128 - ncols)).reshape(hrows, 128)
+        return PR.expand_x_table(x, ncols, sd.segw, sd.n_segs)
 
     # Pass prefixes: each takes (device struct, x) — the struct must be
     # a jit ARGUMENT, not a closure, or the remote-compile payload
@@ -129,7 +126,7 @@ def main() -> int:
     def p_expand(s, x):
         if args.impl != "routed":
             return x
-        return PR.expand(s.w8, s.seg_blk, s.li, x2_of(x), s.segw)
+        return PR.expand(s.w8, s.gcls, s.seg_blk, s.li, x2_of(x), s.segw)
 
     def p_m1(s, x):
         g1 = p_expand(s, x)
