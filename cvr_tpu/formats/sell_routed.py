@@ -209,23 +209,11 @@ def pack_routed(
                 )
             )
             _check_T(T)
-            # class-sort tiles within segments
-            seg_of_tile = np.repeat(seg_blk, TB)
+            # tiles arrive class-sorted within their segment (native
+            # tile_out remap); the 8-group class is the max member's
             cls_tile = np.where(
                 cand <= 1, 1, np.where(cand <= 2, 2, np.where(cand <= 4, 4, 8))
             ).astype(np.int32)
-            order = np.lexsort(
-                (np.arange(T), cls_tile, seg_of_tile)
-            ).astype(np.int32)
-            inv = np.empty(T, dtype=np.int32)
-            inv[order] = np.arange(T, dtype=np.int32)
-            w8_arr = np.ascontiguousarray(w8_arr[order])
-            cls_tile = cls_tile[order]
-            li_flat = np.ascontiguousarray(
-                li_flat.reshape(T, TILE)[order]
-            ).reshape(-1)
-            perm = (inv[perm >> 10].astype(np.int32) << 10) | (perm & 1023)
-            seg_blk = np.ascontiguousarray(seg_of_tile[order][::TB])
             gcls = np.ascontiguousarray(
                 cls_tile.reshape(-1, 8).max(axis=1).astype(np.int32)
             )

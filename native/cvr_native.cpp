@@ -1214,6 +1214,10 @@ int64_t cvr_stream_count2(int64_t S, int64_t S_padded, const int64_t* rmap,
 
 // Pass 2: stream arrays + route perm at subwindow granularity.
 // w8[t] = segment-relative sublane base; cand[t] = subwindows spanned.
+// Tiles come out CLASS-SORTED within their segment (stable by gather
+// class 1/2/4/8) so 8-tile groups dispatch homogeneous expand branches:
+// the walk assigns sequential tile ids, tile_out[] remaps every write
+// to the sorted position (the route perm absorbs any tile order).
 int cvr_stream_fill2(int64_t S, int64_t S_padded, const int64_t* rmap,
                      const int32_t* cols_plane, int64_t nsw_total,
                      int64_t segw8, int64_t TB, const int64_t* swcnt,
@@ -1223,7 +1227,8 @@ int cvr_stream_fill2(int64_t S, int64_t S_padded, const int64_t* rmap,
   const int64_t NT = T * 1024;
   const int64_t N_plane = S_padded * 1024;
   std::vector<int64_t> swpos((size_t)nsw_total, -1);
-  std::vector<int32_t> tbase((size_t)T, 0);  // absolute base subwindow
+  std::vector<int32_t> tbase((size_t)T, 0);  // absolute base subwindow, seq id
+  std::vector<int64_t> seg_t0(n_segs + 1, 0), seg_tp(n_segs + 1, 0);
   for (int64_t t = 0; t < T; t++) {
     w8[t] = 0;
     cand[t] = 1;
@@ -1267,13 +1272,46 @@ int cvr_stream_fill2(int64_t S, int64_t S_padded, const int64_t* rmap,
     const int64_t tp = t0 + ((t - t0 + TB - 1) / TB) * TB;
     if (tp > T) return fail("stream_fill2: T too small (segment pad)");
     for (int64_t b = t0 / TB; b < tp / TB; b++) seg_blk[b] = (int32_t)s;
+    seg_t0[s] = t0;
+    seg_tp[s] = tp;
     t = tp;
   }
   for (int64_t b = t / TB; b < T / TB; b++) seg_blk[b] = 0;
 
+  // Stable class sort within each segment (pad tiles keep cand=1 and
+  // land at the head of the class-1 bucket after the real class-1
+  // tiles they trail in walk order... i.e. in walk order, which is the
+  // stable order).  tile_out: sequential tile id -> sorted position.
+  std::vector<int32_t> tile_out((size_t)T);
+  for (int64_t tt = 0; tt < T; tt++) tile_out[(size_t)tt] = (int32_t)tt;
+  auto cls_of = [](int8_t c) {
+    return c <= 1 ? 0 : (c <= 2 ? 1 : (c <= 4 ? 2 : 3));
+  };
+  for (int64_t s = 0; s < n_segs; s++) {
+    const int64_t t0 = seg_t0[s], tp = seg_tp[s];
+    int64_t cnt[4] = {0, 0, 0, 0};
+    for (int64_t tt = t0; tt < tp; tt++) cnt[cls_of(cand[tt])]++;
+    int64_t off[4] = {t0, t0 + cnt[0], t0 + cnt[0] + cnt[1],
+                      t0 + cnt[0] + cnt[1] + cnt[2]};
+    for (int64_t tt = t0; tt < tp; tt++)
+      tile_out[(size_t)tt] = (int32_t)off[cls_of(cand[tt])]++;
+  }
+  {  // permute the small per-tile outputs into sorted order
+    std::vector<int32_t> w8s((size_t)T);
+    std::vector<int8_t> cs((size_t)T);
+    for (int64_t tt = 0; tt < T; tt++) {
+      w8s[(size_t)tile_out[(size_t)tt]] = w8[tt];
+      cs[(size_t)tile_out[(size_t)tt]] = cand[tt];
+    }
+    std::memcpy(w8, w8s.data(), (size_t)T * sizeof(int32_t));
+    std::memcpy(cand, cs.data(), (size_t)T * sizeof(int8_t));
+  }
+
   // Pass 3: element scatter.  Within one subwindow, stream positions are
   // contiguous (1024-fill closes keep the cursor running into the next
-  // tile; short closes only happen at a subwindow's first chunk).
+  // tile; short closes only happen at a subwindow's first chunk).  The
+  // cursor runs in sequential-tile coordinates; writes remap through
+  // tile_out so li/src land at the class-sorted stream positions.
   std::memset(li_flat, 0, (size_t)NT * sizeof(int16_t));
   std::vector<int32_t> src_pos((size_t)NT, -1);
   std::vector<int64_t> cursor(swpos);
@@ -1286,8 +1324,10 @@ int cvr_stream_fill2(int64_t S, int64_t S_padded, const int64_t* rmap,
       const int32_t c = row[j];
       const int64_t sw = c >> 7;
       const int64_t pos = cursor[(size_t)sw]++;
-      src_pos[(size_t)pos] = (int32_t)(pbase + j);
-      li_flat[pos] = (int16_t)(c - (tbase[(size_t)(pos >> 10)] << 7));
+      const int64_t fpos =
+          ((int64_t)tile_out[(size_t)(pos >> 10)] << 10) | (pos & 1023);
+      src_pos[(size_t)fpos] = (int32_t)(pbase + j);
+      li_flat[fpos] = (int16_t)(c - (tbase[(size_t)(pos >> 10)] << 7));
     }
   }
   for (int64_t r = 0; r < S_padded; r++) {
@@ -1295,8 +1335,10 @@ int cvr_stream_fill2(int64_t S, int64_t S_padded, const int64_t* rmap,
     const int64_t pbase = r * 1024;
     for (int64_t j = 0; j < 1024; j++) {
       const int64_t pos = cursor[0]++;
-      src_pos[(size_t)pos] = (int32_t)(pbase + j);
-      li_flat[pos] = (int16_t)(-(tbase[(size_t)(pos >> 10)] << 7));
+      const int64_t fpos =
+          ((int64_t)tile_out[(size_t)(pos >> 10)] << 10) | (pos & 1023);
+      src_pos[(size_t)fpos] = (int32_t)(pbase + j);
+      li_flat[fpos] = (int16_t)(-(tbase[(size_t)(pos >> 10)] << 7));
     }
   }
   // fillers: repeat the tile's last real offset (keeps gathers in-window)
