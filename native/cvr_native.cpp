@@ -1749,22 +1749,22 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
       chase_leaders(pu.get(), seg_of.get(), s0, s1, ruler_leader,
                     succ_ruler);
       if (last) {
-        // sides ARE the low color bit; emit the planes directly.
+        // sides ARE the low color bit.  After 9 partition levels the
+        // edge order is scrambled, so direct plane emission here makes
+        // all three writes random over ~200 MB (measured 3.7 s at 25M
+        // nnz).  Instead pack (color, payload) into ONE stream-ordered
+        // int32 scatter (54 MB region); the planes are written after
+        // the level loop in ascending-i order, where mid/p3 writes are
+        // cache-friendly.  qv_of_i aliases the spent ua/ub buffer.
+        int32_t* qv = (cu == ua.get()) ? ub.get() : ua.get();
         const int32_t base = (int32_t)((s0 / seg) * 2);
         for (int64_t e = s0; e < s1; e++) {
           const int32_t la = ruler_leader[(size_t)seg_of[(size_t)e]];
           const int32_t lb =
               ruler_leader[(size_t)seg_of[(size_t)(e ^ 1)]];
           const int32_t q = base + (la > lb);
-          const int32_t i = cg[(size_t)e];
-          const int64_t a = (int64_t)cu[(size_t)e];
-          const int64_t d = (int64_t)(i >> 10);
-          const int64_t o = i & 1023;
-          s1_ss[((int64_t)(q >> 7) * Tp + a) * 128 + (q & 127)] =
-              cv[(size_t)e];
-          mid[(int64_t)q * T + d] = (int32_t)a;
-          if (d < S_dst)
-            p3_ss[((o >> 7) * S_dst + d) * 128 + (o & 127)] = (int16_t)q;
+          qv[(size_t)cg[(size_t)e]] =
+              (q << 16) | (uint16_t)cv[(size_t)e];
         }
         continue;
       }
@@ -1812,6 +1812,22 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
       std::swap(cg, og);
       std::swap(cv, ov);
       seg >>= 1;
+    }
+  }
+  {  // stream-ordered plane emission: d/o ascend with i, so the p3
+     // writes stream and the mid writes stay within one L2-sized
+     // column window; only the s1_ss write (random a) misses.
+    const int32_t* qv = (cu == ua.get()) ? ub.get() : ua.get();
+    for (int64_t i = 0; i < n; i++) {
+      const int32_t q = qv[(size_t)i] >> 16;
+      const int16_t v = (int16_t)(qv[(size_t)i] & 0xffff);
+      const int64_t a = (int64_t)(perm[i] >> 10);
+      const int64_t d = i >> 10;
+      const int64_t o = i & 1023;
+      s1_ss[((int64_t)(q >> 7) * Tp + a) * 128 + (q & 127)] = v;
+      mid[(int64_t)q * T + d] = (int32_t)a;
+      if (d < S_dst)
+        p3_ss[((o >> 7) * S_dst + d) * 128 + (o & 127)] = (int16_t)q;
     }
   }
   for (int64_t t = T; t < Tp; t++)
