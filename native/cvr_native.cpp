@@ -1590,20 +1590,30 @@ int cvr_euler_color_perm(int64_t n, const int32_t* perm, int64_t T,
 // mid (1024, T) i32, p3_ss (8, S_dst, 128) i16 (rows [T, S_dst) identity).
 // ---------------------------------------------------------------------------
 
-// Chase all double-step cycles of a segment, filling seg_of with a
+// Per-edge chase state: the pairing pointer and the segment id live in
+// ONE interleaved struct so a chase step touches a single random cache
+// line — next2 reads ps[e^1].pu and the seg write hits ps[e].seg, and
+// e^1 is always line-adjacent to e (measured ~2x on the DRAM-bound
+// levels vs split pu[]/seg_of[] arrays).
+struct EdgePS {
+  int32_t pu;
+  int32_t seg;
+};
+
+// Chase all double-step cycles of a segment, filling ps[].seg with a
 // per-edge segment id and leaders with the cycle leader per id.
-// next2(e) = pu[e ^ 1] (positional dst pairing — see euler_iter_perm).
-static void chase_leaders(const int32_t* pu, int32_t* seg_of, int64_t s0,
+// next2(e) = ps[e ^ 1].pu (positional dst pairing — see euler_iter_perm).
+static void chase_leaders(EdgePS* ps, int64_t s0,
                           int64_t s1, std::vector<int32_t>& ruler_leader,
                           std::vector<int32_t>& succ_ruler) {
   const int64_t ms = s1 - s0;
   const int64_t R = 256;
   const int W = 32;
-  auto next2 = [&](int32_t e) { return pu[(size_t)(e ^ 1)]; };
+  auto next2 = [&](int32_t e) { return ps[(size_t)(e ^ 1)].pu; };
   if (ms >= (int64_t)1 << 15) {
     const int64_t n_rulers = (ms + R - 1) / R;
     succ_ruler.assign((size_t)n_rulers, -1);
-    for (int64_t e = s0; e < s1; e++) seg_of[(size_t)e] = -1;
+    for (int64_t e = s0; e < s1; e++) ps[(size_t)e].seg = -1;
     struct Cur {
       int64_t ruler;
       int32_t e;
@@ -1614,7 +1624,7 @@ static void chase_leaders(const int32_t* pu, int32_t* seg_of, int64_t s0,
     auto refill = [&]() {
       while ((int64_t)cs.size() < W && next_start < n_rulers) {
         int64_t r = next_start++;
-        seg_of[(size_t)(s0 + r * R)] = (int32_t)r;
+        ps[(size_t)(s0 + r * R)].seg = (int32_t)r;
         cs.push_back({r, next2((int32_t)(s0 + r * R))});
       }
     };
@@ -1628,9 +1638,9 @@ static void chase_leaders(const int32_t* pu, int32_t* seg_of, int64_t s0,
           cs.pop_back();
           continue;
         }
-        seg_of[(size_t)e] = (int32_t)cs[c].ruler;
-        int32_t nx = pu[(size_t)(e ^ 1)];
-        __builtin_prefetch(&pu[(size_t)(nx ^ 1)]);
+        int32_t nx = ps[(size_t)(e ^ 1)].pu;
+        ps[(size_t)e].seg = (int32_t)cs[c].ruler;
+        __builtin_prefetch(&ps[(size_t)(nx ^ 1)]);
         cs[c].e = nx;
         c++;
       }
@@ -1659,25 +1669,25 @@ static void chase_leaders(const int32_t* pu, int32_t* seg_of, int64_t s0,
     }
     // leftover cycles containing no ruler
     for (int64_t e = s0; e < s1; e++) {
-      if (seg_of[(size_t)e] >= 0) continue;
+      if (ps[(size_t)e].seg >= 0) continue;
       int32_t rid = (int32_t)ruler_leader.size();
       ruler_leader.push_back((int32_t)e);
       int32_t x = (int32_t)e;
-      while (seg_of[(size_t)x] < 0) {
-        seg_of[(size_t)x] = rid;
+      while (ps[(size_t)x].seg < 0) {
+        ps[(size_t)x].seg = rid;
         x = next2(x);
       }
     }
   } else {
     ruler_leader.clear();
-    for (int64_t e = s0; e < s1; e++) seg_of[(size_t)e] = -1;
+    for (int64_t e = s0; e < s1; e++) ps[(size_t)e].seg = -1;
     for (int64_t e = s0; e < s1; e++) {
-      if (seg_of[(size_t)e] >= 0) continue;
+      if (ps[(size_t)e].seg >= 0) continue;
       int32_t rid = (int32_t)ruler_leader.size();
       ruler_leader.push_back((int32_t)e);
       int32_t x = (int32_t)e;
-      while (seg_of[(size_t)x] < 0) {
-        seg_of[(size_t)x] = rid;
+      while (ps[(size_t)x].seg < 0) {
+        ps[(size_t)x].seg = rid;
         x = next2(x);
       }
     }
@@ -1702,8 +1712,7 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
   auto gb = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
   auto va = std::unique_ptr<int16_t[]>(new int16_t[(size_t)n]);
   auto vb = std::unique_ptr<int16_t[]>(new int16_t[(size_t)n]);
-  auto pu = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
-  auto seg_of = std::unique_ptr<int32_t[]>(new int32_t[(size_t)n]);
+  auto ps = std::unique_ptr<EdgePS[]>(new EdgePS[(size_t)n]);
   // Two pending tables: each level's src pairing is fused into the
   // PREVIOUS level's partition (edges pair in child-position order as
   // they are appended), and the two children interleave.
@@ -1728,8 +1737,8 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
         pn[(size_t)u] = (int32_t)i;
       } else {
         const int32_t o = pn[(size_t)u];
-        pu[(size_t)i] = o;
-        pu[(size_t)o] = (int32_t)i;
+        ps[(size_t)i].pu = o;
+        ps[(size_t)o].pu = (int32_t)i;
         pn[(size_t)u] = -1;
       }
     }
@@ -1746,8 +1755,7 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
     const bool last = (k == 2);
     for (int64_t s0 = 0; s0 < n; s0 += seg) {
       const int64_t s1 = s0 + seg;
-      chase_leaders(pu.get(), seg_of.get(), s0, s1, ruler_leader,
-                    succ_ruler);
+      chase_leaders(ps.get(), s0, s1, ruler_leader, succ_ruler);
       if (last) {
         // sides ARE the low color bit.  After 9 partition levels the
         // edge order is scrambled, so direct plane emission here makes
@@ -1759,9 +1767,9 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
         int32_t* qv = (cu == ua.get()) ? ub.get() : ua.get();
         const int32_t base = (int32_t)((s0 / seg) * 2);
         for (int64_t e = s0; e < s1; e++) {
-          const int32_t la = ruler_leader[(size_t)seg_of[(size_t)e]];
+          const int32_t la = ruler_leader[(size_t)ps[(size_t)e].seg];
           const int32_t lb =
-              ruler_leader[(size_t)seg_of[(size_t)(e ^ 1)]];
+              ruler_leader[(size_t)ps[(size_t)(e ^ 1)].seg];
           const int32_t q = base + (la > lb);
           qv[(size_t)cg[(size_t)e]] =
               (q << 16) | (uint16_t)cv[(size_t)e];
@@ -1777,8 +1785,8 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
       int32_t* pnB = pend1.data();
       int32_t* peB = pend_ep1.data();
       for (int64_t e = s0; e < s1; e++) {
-        const int32_t la = ruler_leader[(size_t)seg_of[(size_t)e]];
-        const int32_t lb = ruler_leader[(size_t)seg_of[(size_t)(e ^ 1)]];
+        const int32_t la = ruler_leader[(size_t)ps[(size_t)e].seg];
+        const int32_t lb = ruler_leader[(size_t)ps[(size_t)(e ^ 1)].seg];
         const bool sideB = la > lb;
         const int64_t d = sideB ? ib++ : ia++;
         if (__builtin_expect(d >= n, 0))
@@ -1797,8 +1805,8 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
           pn[(size_t)u] = (int32_t)d;
         } else {
           const int32_t o = pn[(size_t)u];
-          pu[(size_t)d] = o;
-          pu[(size_t)o] = (int32_t)d;
+          ps[(size_t)d].pu = o;
+          ps[(size_t)o].pu = (int32_t)d;
           pn[(size_t)u] = -1;
         }
       }
