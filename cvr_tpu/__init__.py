@@ -25,6 +25,7 @@ and XLA's static-shape compilation model.
 __version__ = "0.1.0"
 
 from cvr_tpu.formats import pack_auto
+from cvr_tpu.formats.bell import BellInfeasible, BellMatrix, bell_pack
 from cvr_tpu.formats.bsr import BsrInfeasible, BsrMatrix, bsr_pack
 from cvr_tpu.formats.coo import COOMatrix
 from cvr_tpu.formats.dia import DiaInfeasible, DiaMatrix, dia_pack
@@ -41,6 +42,9 @@ from cvr_tpu.ops.spmv import spmv, spmm
 from cvr_tpu.ops.spmv_ref import spmv_csr_jnp, spmv_golden_numpy
 
 __all__ = [
+    "BellInfeasible",
+    "BellMatrix",
+    "bell_pack",
     "BsrInfeasible",
     "BsrMatrix",
     "bsr_pack",

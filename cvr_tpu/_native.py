@@ -169,7 +169,14 @@ def get_lib():
         _i64, _i32p, _i64, _i64, _i64, ctypes.c_void_p, _i16p, _i32p,
         _i16p,
     ]
-    if lib.cvr_version() != 14:
+    lib.cvr_bell_stats.restype = ctypes.c_int64
+    lib.cvr_bell_stats.argtypes = [_i64, _i64p, _i32p, _i64, _i32p]
+    lib.cvr_bell_fill.restype = ctypes.c_int64
+    lib.cvr_bell_fill.argtypes = [
+        _i64, _i64p, _i32p, _f32p, _i64, _i64, _i64, _i64,
+        _i16p, _f32p, _i64, _i32p, _i32p, _f32p,
+    ]
+    if lib.cvr_version() != 15:
         return None
     _LIB = lib
     return _LIB
@@ -702,3 +709,48 @@ def dia_fill_native(rowptr, cols, vals, offsets, nrows: int):
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def bell_stats_native(rowptr, cols, cap: int):
+    """Per-row near-entry counts + the achieved reach (max near |off|)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    nrows = rowptr.shape[0] - 1
+    near_lens = np.empty(nrows, dtype=np.int32)
+    reach = int(lib.cvr_bell_stats(nrows, rowptr, cols, cap, near_lens))
+    return near_lens, reach
+
+
+def bell_fill_native(
+    rowptr, cols, vals, k: int, cap: int, cr: int, R128: int,
+    spill_cap: int,
+):
+    """Fill BELL (li, val) planes + compact spill COO in one pass.
+
+    Returns (li (k, R128) int16, vals (k, R128) f32, spill_rows,
+    spill_cols, spill_vals) with the spill arrays trimmed to the count.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    nrows = rowptr.shape[0] - 1
+    li = np.zeros((k, R128), dtype=np.int16)
+    vout = np.zeros((k, R128), dtype=np.float32)
+    sr = np.empty(spill_cap, dtype=np.int32)
+    sc = np.empty(spill_cap, dtype=np.int32)
+    sv = np.empty(spill_cap, dtype=np.float32)
+    ns = int(
+        lib.cvr_bell_fill(
+            nrows, rowptr, cols, vals, k, cap, cr, R128, li, vout,
+            spill_cap, sr, sc, sv,
+        )
+    )
+    if ns < 0:
+        raise NativeError("bell_fill: spill capacity exceeded")
+    return li, vout, sr[:ns], sc[:ns], sv[:ns]

@@ -259,7 +259,22 @@ def run_spmv_benchmark(
     norm_inf = float(row_abs.max())
     pi_scale = 1.0 / norm_inf if norm_inf > 0 else 1.0
 
-    if impl == "dia":
+    if impl == "bell":
+        from cvr_tpu.formats.bell import bell_pack
+        from cvr_tpu.ops.spmv_bell import spmv_bell, to_device_bell
+
+        t0 = time.perf_counter()
+        bm = bell_pack(csr)
+        preproc = time.perf_counter() - t0
+        padded = bm.k * bm.R_sub * 128 + (
+            bm.spill.T * 1024 if bm.spill is not None else 0
+        )
+        sd = to_device_bell(bm)
+        xd = jnp.asarray(x)
+        kernel = spmv_bell
+        spmv_s = time_fn_iterated(kernel, sd, xd, iters=iters, scale=pi_scale, out_n=csr.shape[0])
+        y = np.asarray(jax.jit(kernel)(sd, xd))
+    elif impl == "dia":
         from cvr_tpu.formats.dia import dia_pack
         from cvr_tpu.ops.spmv_dia import spmv_dia, to_device_dia
 
@@ -287,8 +302,10 @@ def run_spmv_benchmark(
         y = np.asarray(jax.jit(kernel)(sd, xd))
     elif impl == "auto":
         from cvr_tpu.formats import pack_auto
+        from cvr_tpu.formats.bell import BellMatrix
         from cvr_tpu.formats.dia import DiaMatrix
         from cvr_tpu.formats.sell_routed import SellRouted
+        from cvr_tpu.ops.spmv_bell import spmv_bell, to_device_bell
         from cvr_tpu.ops.spmv_dia import spmv_dia, to_device_dia
         from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
         from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
@@ -298,10 +315,15 @@ def run_spmv_benchmark(
         preproc = time.perf_counter() - t0
         padded = packed.padded_nnz if hasattr(packed, "padded_nnz") else (
             packed.T * 1024
+            if not isinstance(packed, BellMatrix)
+            else packed.k * packed.R_sub * 128
         )
         if isinstance(packed, DiaMatrix):
             sd = to_device_dia(packed)
             kernel = spmv_dia
+        elif isinstance(packed, BellMatrix):
+            sd = to_device_bell(packed)
+            kernel = spmv_bell
         elif isinstance(packed, SellRouted):
             sd = to_device_routed(packed)
             kernel = spmv_routed

@@ -4,7 +4,7 @@ Reproduces the reference's UX — ``./spmv.cvr <file.mtx> <threads> <iters>``
 (spmv.cpp:1693-1712, README.md:26-28) — as subcommands:
 
   python -m cvr_tpu.cli spmv <file.mtx> [--iters N]
-      [--format auto|dia|routed|window|sell|csr|bsr] [--rhs K] [--c C]
+      [--format auto|bell|dia|routed|window|sell|csr|bsr] [--rhs K] [--c C]
       [--sigma S] [--no-verify]
       [--save-packed out.npz] [--load-packed in.npz]
   python -m cvr_tpu.cli compare <file.mtx> [--iters N] [--rhs K]
@@ -58,6 +58,7 @@ def cmd_spmv(args) -> int:
 
     impl = {
         "auto": "auto",
+        "bell": "bell",
         "dia": "dia",
         "routed": "sell-routed",
         "sell-routed": "sell-routed",
@@ -92,6 +93,10 @@ def cmd_spmv(args) -> int:
             from cvr_tpu.formats.dia import dia_pack
 
             dia_pack(coo.to_csr()).save(args.save_packed)
+        elif impl == "bell":
+            from cvr_tpu.formats.bell import bell_pack, save_bell
+
+            save_bell(bell_pack(coo.to_csr()), args.save_packed)
         elif impl == "auto":
             from cvr_tpu.formats import pack_auto
             from cvr_tpu.formats.sell_routed import SellRouted, save_routed
@@ -127,7 +132,9 @@ def _spmv_prepacked(args, coo) -> int:
     if fmt == "auto":
         # sniff the artifact kind from its keys
         z = np.load(args.load_packed)
-        if "mid_kind" in z.files:
+        if "bell_meta" in z.files:
+            fmt = "bell"
+        elif "mid_kind" in z.files:
             fmt = "routed"
         elif "bands" in z.files:
             fmt = "dia"
@@ -145,6 +152,16 @@ def _spmv_prepacked(args, coo) -> int:
             return 1
         sd = to_device_routed(srt)
         kernel = spmv_routed
+    elif fmt == "bell":
+        from cvr_tpu.formats.bell import load_bell
+        from cvr_tpu.ops.spmv_bell import spmv_bell, to_device_bell
+
+        bmx = load_bell(args.load_packed)
+        if bmx.shape != coo.shape:
+            print("packed artifact shape mismatch")
+            return 1
+        sd = to_device_bell(bmx)
+        kernel = spmv_bell
     elif fmt == "dia":
         from cvr_tpu.formats.dia import DiaMatrix
         from cvr_tpu.ops.spmv_dia import spmv_dia, to_device_dia
@@ -311,7 +328,7 @@ def cmd_compare(args) -> int:
     from cvr_tpu.bench.harness import run_spmv_benchmark
 
     results = []
-    for impl in ("csr", "sell-xla", "sell-routed", "sell-window", "dia"):
+    for impl in ("csr", "sell-xla", "sell-routed", "sell-window", "dia", "bell"):
         try:
             r = run_spmv_benchmark(
                 coo, name=args.matrix, impl=impl, iters=args.iters
@@ -371,7 +388,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--format",
         default="auto",
         choices=[
-            "auto", "bsr", "dia", "routed", "sell-routed", "window",
+            "auto", "bell", "bsr", "dia", "routed", "sell-routed", "window",
             "sell-window", "sell", "csr",
         ],
     )

@@ -1,3 +1,4 @@
+from cvr_tpu.formats.bell import BellInfeasible, BellMatrix, bell_pack
 from cvr_tpu.formats.bsr import BsrInfeasible, BsrMatrix, bsr_pack
 from cvr_tpu.formats.coo import COOMatrix
 from cvr_tpu.formats.dia import DiaInfeasible, DiaMatrix, dia_pack
@@ -10,6 +11,9 @@ from cvr_tpu.formats.sell_window import (
 )
 
 __all__ = [
+    "BellInfeasible",
+    "BellMatrix",
+    "bell_pack",
     "BsrInfeasible",
     "BsrMatrix",
     "bsr_pack",
@@ -56,6 +60,14 @@ def pack_auto(csr: CSRMatrix, max_window_fill: float = 2.0):
     try:
         return dia_pack(csr)
     except DiaInfeasible:
+        pass
+    # Banded-SPARSE matrices (road class: few nnz/row, all near the
+    # diagonal, no dense diagonals): BELL keeps natural row order, runs
+    # one gather-MAC kernel with no route/reduce/y-route, and packs in
+    # a few vectorized passes.
+    try:
+        return bell_pack(csr)
+    except BellInfeasible:
         pass
     try:
         sw = sell_pack_window(csr)

@@ -1,0 +1,156 @@
+"""Fused Pallas banded-ELL (BELL) SpMV: static window gathers, no route.
+
+Road-class matrices (road_usa: ~2.5 nnz/row, every nnz within a few
+hundred columns of the diagonal under the natural ordering — reference
+README.md:14-17, paper Table 2) have *no* dense diagonals to give DIA
+(measured: 129 offsets at ~2% fill each on road-usa-like) and waste the
+routed pipeline's whole route/reduce/y-route machinery: the row order
+itself already has perfect x locality.  BELL keeps rows in natural
+order as k (offset, value) planes and gathers x through the same
+1024-column candidate windows as the routed expand kernel — but because
+consecutive 1024-row tiles advance their window by exactly 8 sublanes,
+every slab index is a compile-time constant:
+
+  * tile t's window base is 8t + d (d < 8 a pack constant): an 8-tile
+    group reads ONE aligned 128-sublane slab, candidate rows are static
+    slices, and y writes land row-major — no scalar prefetch, no roll,
+    no transpose, no emission sweep, no y-route;
+  * per element: 1 lane-gather + select per candidate sublane (ncand =
+    8 + 2*ceil(reach/128), reach <= 448), 1 FMA;
+  * rows with more than k entries (or entries beyond the reach cap)
+    spill to a small routed residual added after the kernel.
+
+The whole SpMV is one pallas call plus (optionally) the residual: the
+format CVR's converter IP answers with row reordering (spmv.cpp:565-
+1014) is answered here by not needing any reordering at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cvr_tpu.ops.pallas_route import use_interpret
+
+# Hard cap: li is int16 in [0, 2048) -> window span 16 sublanes.
+REACH_CAP = 448
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def ncand_of(reach: int) -> int:
+    """Candidate sublanes per tile (max li = 128*ceil(reach/128) +
+    1023 + reach; 16 at the REACH_CAP)."""
+    cr = -(-reach // 128)
+    return (128 * cr + 1023 + reach) // 128 + 1
+
+
+def bell_tbb(k: int, R_sub: int) -> int:
+    """Tiles per grid block: VMEM-bounded by the k li/val planes."""
+    TBb = 64 if k > 8 else 128
+    while R_sub % (TBb * 8):
+        TBb //= 2
+        if TBb < 8:
+            raise ValueError("BELL rows must pad to an 8192-row multiple")
+    return TBb
+
+
+def _bell_kernel(k: int, ncand: int, d: int, TBb: int, li_ref, v_ref,
+                 xm_ref, xh_ref, y_ref):
+    # All indices static: group g's slab is xm[64g : 64g+128] (the last
+    # group stitches the 64-sublane halo block), tile j of the group
+    # gathers from slab rows 8j + d + s for s < ncand.
+    for g in range(TBb // 8):
+        base = 64 * g
+        if base + 128 <= TBb * 8:
+            slab = xm_ref[base : base + 128, :]
+        else:
+            slab = jnp.concatenate(
+                [xm_ref[base : TBb * 8, :], xh_ref[...]], axis=0
+            )
+        for j in range(8):
+            t = g * 8 + j
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for p in range(k):
+                idx = li_ref[p, pl.ds(8 * t, 8), :].astype(jnp.int32)
+                lo = jnp.bitwise_and(idx, 127)
+                hi = jax.lax.shift_right_logical(idx, 7)
+                gath = jnp.zeros((8, 128), jnp.float32)
+                for s in range(ncand):
+                    row = slab[8 * j + d + s : 8 * j + d + s + 1, :]
+                    cand = jnp.take_along_axis(
+                        jnp.broadcast_to(row, (8, 128)), lo, axis=1
+                    )
+                    gath = jnp.where(hi == s, cand, gath)
+                acc = acc + v_ref[p, pl.ds(8 * t, 8), :] * gath
+            y_ref[pl.ds(8 * t, 8), :] = acc
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_call(k: int, ncand: int, d: int, R_sub: int, TBb: int,
+               interpret: bool):
+    nblocks = R_sub // (TBb * 8)
+    grid = (nblocks,)
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (k, TBb * 8, 128), lambda j: (0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, TBb * 8, 128), lambda j: (0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TBb * 8, 128), lambda j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # 64-sublane halo: the block after this one's main window
+            pl.BlockSpec(
+                (64, 128), lambda j: ((j + 1) * TBb // 8, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TBb * 8, 128), lambda j: (j, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    def fn(li, vals, xt):
+        return pl.pallas_call(
+            functools.partial(_bell_kernel, k, ncand, d, TBb),
+            grid_spec=spec,
+            out_shape=jax.ShapeDtypeStruct((R_sub, 128), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024
+            ),
+        )(li, vals, xt, xt)
+
+    return jax.jit(fn)
+
+
+def bell_gather_mac(
+    li: jax.Array, vals: jax.Array, xt: jax.Array, d: int, ncand: int,
+    TBb: int,
+) -> jax.Array:
+    """y rows (R_sub, 128) = sum_p vals[p] * xt-window-gather(li[p]).
+
+    li/vals: (k, R_sub, 128) int16/f32 row-major planes; xt: (X, 128)
+    f32 x table (PRE zeros + x + tail zeros) with X = R_sub + TBb*8 (one
+    whole extra block so the 64-sublane halo spec stays in range).
+    """
+    k, R_sub, _ = li.shape
+    if xt.shape[0] != R_sub + TBb * 8:
+        raise ValueError("x table must be R_sub + TBb*8 sublanes")
+    return _bell_call(k, ncand, d, R_sub, TBb, use_interpret())(
+        li, vals, xt
+    )

@@ -2213,6 +2213,66 @@ int cvr_dia_fill(int64_t nrows, int64_t nnz, const int64_t* rowptr,
   return 0;
 }
 
-int cvr_version() { return 14; }
+int cvr_version() { return 15; }
+
+// ---------------------------------------------------------------------------
+// BELL (banded-ELL) converter passes — single streaming walks over the
+// CSR, no O(nnz) temporaries (the numpy formulation spent 10+ s in
+// first-touch page faults on the 1-core host for road-scale inputs).
+// ---------------------------------------------------------------------------
+
+// Per-row count of entries within the reach cap; returns the largest
+// |offset| among them (the achieved reach, which sets the kernel's
+// candidate count).
+int64_t cvr_bell_stats(int64_t nrows, const int64_t* rowptr,
+                       const int32_t* cols, int64_t cap,
+                       int32_t* near_lens) {
+  int64_t reach = 0;
+  for (int64_t r = 0; r < nrows; r++) {
+    int32_t c = 0;
+    for (int64_t i = rowptr[r]; i < rowptr[r + 1]; i++) {
+      int64_t off = (int64_t)cols[i] - r;
+      if (off < 0) off = -off;
+      if (off <= cap) {
+        c++;
+        if (off > reach) reach = off;
+      }
+    }
+    near_lens[r] = c;
+  }
+  return reach;
+}
+
+// Fill the k (li, val) planes (row-major (k, R_sub*128) each) and the
+// compact spill COO.  li = col - 1024*(r>>10) + 128*cr.  Returns the
+// spill count, or -1 if it would exceed spill_cap.
+int64_t cvr_bell_fill(int64_t nrows, const int64_t* rowptr,
+                      const int32_t* cols, const float* vals, int64_t k,
+                      int64_t cap, int64_t cr, int64_t R128,
+                      int16_t* li_out, float* vals_out,
+                      int64_t spill_cap, int32_t* spill_rows,
+                      int32_t* spill_cols, float* spill_vals) {
+  int64_t ns = 0;
+  for (int64_t r = 0; r < nrows; r++) {
+    int64_t rank = 0;
+    const int64_t base = -((r >> 10) << 10) + 128 * cr;
+    for (int64_t i = rowptr[r]; i < rowptr[r + 1]; i++) {
+      const int64_t c = (int64_t)cols[i];
+      const int64_t off = c - r;
+      if (off <= cap && off >= -cap && rank < k) {
+        li_out[rank * R128 + r] = (int16_t)(c + base);
+        vals_out[rank * R128 + r] = vals[i];
+        rank++;
+      } else {
+        if (ns >= spill_cap) return -1;
+        spill_rows[ns] = (int32_t)r;
+        spill_cols[ns] = cols[i];
+        spill_vals[ns] = vals[i];
+        ns++;
+      }
+    }
+  }
+  return ns;
+}
 
 }  // extern "C"
