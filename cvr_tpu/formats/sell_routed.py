@@ -59,6 +59,57 @@ class RoutedForce:
     n_extras: int | None = None  # pad split-row extras to this count
 
 
+@dataclass
+class RingSpec:
+    """Comm-compute overlap schedule for the distributed routed path.
+
+    The dense x enters row-sharded; a D-step ppermute ring circulates the
+    pieces.  Device ``shard`` holds piece ``(shard - s) mod D`` at step
+    ``s``, and every expand tile block is scheduled at the step where the
+    last x piece its window reads has arrived — so the expand pass runs
+    piece by piece, overlapped with the permute moving the next piece
+    over ICI (SURVEY.md:310-315's "comm-compute overlap" mandate; the
+    reference itself has no distributed layer at all).  The pack bakes
+    the schedule into the stream tile ORDER (the Clos route absorbs any
+    tile order), so each step's expand is one Pallas call over a
+    contiguous block range.
+    """
+
+    D: int  # ring size == mesh axis size
+    shard: int  # this shard's position on the mesh axis
+    Wr: int  # x sublane rows (128 cols) per ring piece
+    cnt: np.ndarray  # (D,) unified per-step tile-block counts
+
+
+@dataclass
+class RoutedStream:
+    """Output of the native stream build, before the route compile.
+
+    Split out so cvr_tpu/parallel/dist_routed.py can compute every
+    shard's natural ring schedule (which needs w8/seg_blk) and unify the
+    per-step counts BEFORE the route is compiled against the scheduled
+    tile order (pack_routed(..., ring=, stream=)).
+    """
+
+    perm: np.ndarray  # (T*1024,) int32 dest plane pos -> src stream pos
+    li_flat: np.ndarray  # (T*1024,) int16 in-window offsets (pre-fuse)
+    w8: np.ndarray  # (T,) int32 segment-relative sublane bases
+    gcls: np.ndarray  # (T//8,) int32 gather class per 8-tile group
+    seg_blk: np.ndarray  # (T//TB,) int32 x segment per block
+    T: int
+    T_src_p: int  # real (unpadded-to-1024) tile count, TB multiple
+    segw: int
+    n_segs: int
+    rmap: np.ndarray
+    offs: np.ndarray
+    ycall_rows: np.ndarray
+    regions: np.ndarray
+    S_padded: int
+    nslices: int
+    nslices_u: int
+    pt: PhaseTimer
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -100,6 +151,10 @@ class SellRouted:
     n_fillers: int
     convert_time: float = 0.0
     convert_phases: dict | None = None
+    # ring-overlap schedule (set by pack_routed(ring=...); see RingSpec)
+    seg_ring: np.ndarray | None = None
+    ring_cnt: tuple | None = None
+    ring_nsegtab: int = 0
 
 
 def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
@@ -136,17 +191,230 @@ def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
     return sr
 
 
+def routed_stream_phase(
+    sm: SellMatrix, force: RoutedForce | None = None
+) -> RoutedStream:
+    """Layout plan + native stream build, stopping before the route
+    compile (see RoutedStream).  Requires the native library."""
+    from cvr_tpu import _native
+    from cvr_tpu.ops.pallas_route import CH, SEGW, TB, YB
+
+    if not (
+        _native.available() and hasattr(_native, "stream_build2_native")
+    ):
+        raise RuntimeError("routed_stream_phase requires the native lib")
+    pt = PhaseTimer()
+    S = sm.n_slots
+    nrows, ncols = sm.shape
+    widths_all = np.diff(sm.slice_offsets)
+    nslices = int((widths_all > 0).sum())
+    if (widths_all[nslices:] != 0).any():
+        raise AssertionError("zero-width slices must be trailing")
+    nslices = max(nslices, 1)
+    nslices_u = nslices
+    if force is not None and force.nslices is not None:
+        if force.nslices < nslices:
+            raise ValueError("force.nslices below natural slice count")
+        nslices_u = force.nslices
+    offs = sm.slice_offsets.astype(np.int64)
+    rmap, ycall_rows, regions, S_padded = _plan_layout(
+        offs, nslices, nslices_u, S, YB, CH, force
+    )
+    force_T = 0 if force is None or force.T is None else int(force.T)
+    nwin_total = -(-max(ncols, 1) // 1024)
+    segw = min(SEGW, _round_up(nwin_total, 8))
+    n_segs = -(-nwin_total // segw)
+    nsw_total = segw * 8 * n_segs
+    with pt.phase("stream"):
+        perm, li_flat, w8_arr, cand, seg_blk, T, T_src_p = (
+            _native.stream_build2_native(
+                rmap, sm.cols_plane, S_padded, nsw_total, segw, TB,
+                force_T,
+            )
+        )
+        _check_T(T)
+        cls_tile = np.where(
+            cand <= 1, 1, np.where(cand <= 2, 2, np.where(cand <= 4, 4, 8))
+        ).astype(np.int32)
+        gcls = np.ascontiguousarray(
+            cls_tile.reshape(-1, 8).max(axis=1).astype(np.int32)
+        )
+        # tiles past the real stream are pure filler: pin their window
+        # metadata so the ring scheduler sees deterministic values
+        if T_src_p < T:
+            w8_arr[T_src_p:] = 0
+            seg_blk[T_src_p // TB :] = 0
+    return RoutedStream(
+        perm=perm, li_flat=li_flat, w8=w8_arr, gcls=gcls, seg_blk=seg_blk,
+        T=T, T_src_p=T_src_p, segw=segw, n_segs=n_segs, rmap=rmap,
+        offs=offs, ycall_rows=ycall_rows, regions=regions,
+        S_padded=S_padded, nslices=nslices, nslices_u=nslices_u, pt=pt,
+    )
+
+
+def ring_block_unlock(st: RoutedStream, ring: RingSpec) -> np.ndarray:
+    """Per tile-block ring step at which every x piece the block's
+    windows read has arrived (the earliest step it may expand)."""
+    from cvr_tpu.ops.pallas_route import TB
+
+    segw8 = st.segw * 8
+    D, Wr, i = ring.D, ring.Wr, ring.shard
+    ncr = D * Wr
+    seg_of_tile = np.repeat(st.seg_blk.astype(np.int64), TB)
+    base = seg_of_tile * segw8 + (st.w8.astype(np.int64) >> 3) * 8
+    p_lo = np.clip(base // Wr, 0, D - 1)
+    p_hi = np.clip(np.minimum(base + 15, ncr - 1) // Wr, 0, D - 1)
+    # piece p arrives at step (i - p) mod D; over the contiguous piece
+    # range the max is D-1 iff the last-arriving piece (i+1) is inside
+    pstar = (i + 1) % D
+    f_lo = (i - p_lo) % D
+    f_hi = (i - p_hi) % D
+    unlock = np.where(
+        (p_lo <= pstar) & (pstar <= p_hi),
+        D - 1,
+        np.maximum(f_lo, f_hi),
+    ).astype(np.int64)
+    blk = unlock.reshape(-1, TB).max(axis=1)
+    blk[st.T_src_p // TB :] = 0  # pure-filler blocks: schedule anywhere
+    return blk
+
+
+def _ring_permute(st: RoutedStream, ring: RingSpec):
+    """Reorder the stream at tile-block granularity into ring-schedule
+    order (step-major, fillers padding each step to the unified count)
+    and remap the route permutation accordingly.  Returns
+    (seg_ring, cnt_u, nsegtab) and mutates st's arrays/T in place."""
+    from cvr_tpu.ops.pallas_route import TB
+
+    D = ring.D
+    segw8 = st.segw * 8
+    unlock = ring_block_unlock(st, ring)
+    counts = np.bincount(unlock, minlength=D)
+    cnt_u = np.asarray(ring.cnt, dtype=np.int64).copy()
+    if (counts > cnt_u).any():
+        raise ValueError("ring.cnt below this shard's natural counts")
+    T_new = int(cnt_u.sum()) * TB
+    T_req = _round_up(max(T_new, st.S_padded), 1024)
+    cnt_u[D - 1] += (T_req - T_new) // TB
+    T_new = T_req
+    _check_T(T_new)
+    off_u = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(cnt_u, out=off_u[1:])
+    order = np.argsort(unlock, kind="stable")
+    coff = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(counts, out=coff[1:])
+    nblk_new = T_new // TB
+    newb = np.full(nblk_new, -1, dtype=np.int64)
+    for s in range(D):
+        newb[off_u[s] : off_u[s] + counts[s]] = order[coff[s] : coff[s + 1]]
+    step_of_new = np.repeat(np.arange(D), cnt_u)
+    p_of_step = (ring.shard - np.arange(D)) % D
+    k_lo = (p_of_step * ring.Wr) // segw8
+
+    real = newb >= 0
+    nt = (np.flatnonzero(real)[:, None] * TB + np.arange(TB)).ravel()
+    ot = (newb[real][:, None] * TB + np.arange(TB)).ravel()
+    w8_new = np.zeros(T_new, dtype=np.int32)
+    w8_new[nt] = st.w8[ot]
+    gcls_new = np.ones(T_new // 8, dtype=np.int32)
+    gcls_new.reshape(-1, TB // 8)[real] = st.gcls.reshape(-1, TB // 8)[
+        newb[real]
+    ]
+    seg_new = np.zeros(nblk_new, dtype=np.int64)
+    seg_new[real] = st.seg_blk.astype(np.int64)[newb[real]]
+    # pure-filler source blocks and padding blocks read an arbitrary
+    # valid table segment: their gather results route to trash
+    nreal_blk = st.T_src_p // TB
+    base_seg = k_lo[step_of_new]
+    seg_new[~real] = base_seg[~real]
+    filler_real = real.copy()
+    filler_real[real] = newb[real] >= nreal_blk
+    seg_new[filler_real] = base_seg[filler_real]
+    seg_ring = (seg_new - base_seg).astype(np.int32)
+    if (seg_ring < 0).any():
+        raise AssertionError("block segment below its ring table base")
+    nsegtab = int(seg_ring.max()) + 1 if seg_ring.size else 1
+
+    li_new = np.zeros(T_new * TILE, dtype=np.int16)
+    li_new.reshape(-1, TILE)[nt] = st.li_flat.reshape(-1, TILE)[ot]
+    tile_map = np.full(st.T, -1, dtype=np.int64)
+    tile_map[ot] = nt
+    N_plane = st.S_padded * TILE
+    src_old = st.perm.astype(np.int64)[:N_plane]
+    src_new = tile_map[src_old >> 10] * TILE + (src_old & (TILE - 1))
+    if (src_new < 0).any():
+        raise AssertionError("route source fell in an unmapped tile")
+    perm_new = np.empty(T_new * TILE, dtype=np.int32)
+    perm_new[:N_plane] = src_new.astype(np.int32)
+    used = np.zeros(T_new * TILE, dtype=bool)
+    used[src_new] = True
+    perm_new[N_plane:] = np.flatnonzero(~used).astype(np.int32)
+
+    st.perm = perm_new
+    st.li_flat = li_new
+    st.w8 = w8_new
+    st.gcls = gcls_new
+    st.seg_blk = seg_new.astype(np.int32)
+    st.T = T_new
+    return seg_ring, cnt_u, nsegtab
+
+
 def pack_routed(
-    sm: SellMatrix, ch: int = 128, force: RoutedForce | None = None
+    sm: SellMatrix,
+    ch: int = 128,
+    force: RoutedForce | None = None,
+    ring: RingSpec | None = None,
+    stream: RoutedStream | None = None,
 ) -> SellRouted:
     """Compile a SellMatrix (C=1024) into the routed-SpMV artifact.
 
     ``force`` pins the kernel geometry (tiles, reduce-call row counts,
     slice count, y length, extras count) so independently packed shards
     compile to one shard_map program (cvr_tpu/parallel/dist_routed.py).
+    ``ring`` additionally schedules the stream tile order for the
+    comm-compute-overlapped distributed path (RingSpec); ``stream``
+    reuses an already-built RoutedStream (dist pack runs the stream
+    phase for every shard first to unify the per-step counts).
     """
     if sm.C != TILE:
         raise ValueError("routed path requires C == 1024")
+    from cvr_tpu import _native as _nat
+
+    if ring is not None or stream is not None:
+        from cvr_tpu.ops.pallas_route import middle_planes_from
+
+        st = stream if stream is not None else routed_stream_phase(sm, force)
+        pt = st.pt
+        seg_ring = None
+        ring_cnt = None
+        ring_nsegtab = 0
+        if ring is not None:
+            with pt.phase("ring_schedule"):
+                seg_ring, cnt_u, ring_nsegtab = _ring_permute(st, ring)
+                ring_cnt = tuple(int(c) for c in cnt_u)
+        with pt.phase("route_plan"):
+            li_ss, mid_arr, p3_ss = _nat.route_compile_native(
+                st.perm, st.T, st.T, st.S_padded, st.li_flat
+            )
+            n_fillers = st.T * TILE - st.S_padded * TILE
+        with pt.phase("fuse_planes"):
+            mid = middle_planes_from(mid_arr, st.T)
+        sr = _pack_routed_tail(
+            sm, pt, force, st.offs, st.ycall_rows, st.regions, st.rmap,
+            st.nslices, st.nslices_u, st.S_padded, st.w8, li_ss,
+            st.seg_blk, mid, p3_ss, st.T, st.n_segs, st.segw, n_fillers,
+            st.gcls,
+        )
+        sr.seg_ring = seg_ring
+        sr.ring_cnt = ring_cnt
+        sr.ring_nsegtab = ring_nsegtab
+        return sr
+
+    if _nat.available() and hasattr(_nat, "stream_build2_native"):
+        return pack_routed(
+            sm, ch, force, stream=routed_stream_phase(sm, force)
+        )
+
     pt = PhaseTimer()
     from cvr_tpu.ops.pallas_route import CH, YB, SEGW, TB, middle_planes_from
 
@@ -183,55 +451,6 @@ def pack_routed(
     )
     N_plane = S_padded * TILE
     force_T = 0 if force is None or force.T is None else int(force.T)
-
-    from cvr_tpu import _native
-
-    if _native.available() and hasattr(_native, "stream_build2_native"):
-        # Native fast path (v10): counting sort at SUBWINDOW (128-column)
-        # granularity with sliding tile bases — far fewer fillers than
-        # window-aligned cutting, and each tile carries its
-        # gather-candidate count.  Tiles are then sorted by candidate
-        # class WITHIN their x segment (free: the route perm absorbs any
-        # tile order, and the expand kernel's x block only depends on the
-        # segment) so 8-tile groups dispatch homogeneous 1/2/4/8-gather
-        # classes.  Mirrors how the reference's converter is itself
-        # optimized native code whose cost is a first-class metric
-        # (spmv.cpp:565-1014, timed at :575/:1009).
-        nwin_total = -(-max(ncols, 1) // 1024)
-        segw = min(SEGW, _round_up(nwin_total, 8))
-        n_segs = -(-nwin_total // segw)
-        nsw_total = segw * 8 * n_segs  # subwindows incl. segment round-up
-        with pt.phase("stream"):
-            perm, li_flat, w8_arr, cand, seg_blk, T, T_src_p = (
-                _native.stream_build2_native(
-                    rmap, sm.cols_plane, S_padded, nsw_total, segw, TB,
-                    force_T,
-                )
-            )
-            _check_T(T)
-            # tiles arrive class-sorted within their segment (native
-            # tile_out remap); the 8-group class is the max member's
-            cls_tile = np.where(
-                cand <= 1, 1, np.where(cand <= 2, 2, np.where(cand <= 4, 4, 8))
-            ).astype(np.int32)
-            gcls = np.ascontiguousarray(
-                cls_tile.reshape(-1, 8).max(axis=1).astype(np.int32)
-            )
-        with pt.phase("route_plan"):
-            # one fused native call: BFS Euler coloring with the plane
-            # emission folded into its final level (no colors array, no
-            # separate plane pass)
-            li_ss, mid_arr, p3_ss = _native.route_compile_native(
-                perm, T, T, S_padded, li_flat
-            )
-            n_fillers = T * TILE - N_plane
-        with pt.phase("fuse_planes"):
-            mid = middle_planes_from(mid_arr, T)
-        return _pack_routed_tail(
-            sm, pt, force, offs, ycall_rows, regions, rmap,
-            nslices, nslices_u, S_padded, w8_arr, li_ss, seg_blk, mid,
-            p3_ss, T, n_segs, segw, n_fillers, gcls,
-        )
 
     with pt.phase("expand_tiles"):
         # columns at PADDED plane positions: inserted rows carry col 0 and

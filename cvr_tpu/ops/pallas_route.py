@@ -431,6 +431,62 @@ def expand(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_ring_call(off: int, cnt: int, segw: int, interpret: bool):
+    """One ring step of the overlapped expand (cvr_tpu/parallel/dist_routed).
+
+    The ring-scheduled stream layout puts every step's tile blocks in a
+    contiguous range [off, off + cnt): this call runs the UNCHANGED
+    expand kernel over that range only, reading x through a small
+    per-step table that covers just the ring pieces received so far.
+    w8/gcls/seg arrive pre-sliced to the step (they are cheap scalar
+    prefetch arrays); li stays whole — its index map carries the offset
+    so no copy of the big plane is made.
+    """
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(cnt,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, TB, 128), lambda i, w8, gc, seg: (0, off + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (segw * 8 + 8, 128),
+                lambda i, w8, gc, seg: (seg[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, TB, 128),
+            lambda i, w8, gc, seg: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    def fn(w8_s, gcls_s, seg_s, li, xtab):
+        return pl.pallas_call(
+            functools.partial(_expand_kernel, interpret),
+            grid_spec=spec,
+            out_shape=jax.ShapeDtypeStruct((8, cnt * TB, 128), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024
+            ),
+        )(w8_s, gcls_s, seg_s, li, xtab)
+
+    return jax.jit(fn)
+
+
+def expand_ring_step(
+    off: int, cnt: int, w8_s, gcls_s, seg_s, li, xtab, segw: int
+):
+    """Expand stream blocks [off, off+cnt) against a per-step x table."""
+    return _expand_ring_call(off, cnt, segw, use_interpret())(
+        w8_s, gcls_s, seg_s, li, xtab
+    )
+
+
 # ---------------------------------------------------------------------------
 # reduce: y_sorted[slice] = sum over its plane rows of vals * gx(+stage 3)
 # ---------------------------------------------------------------------------

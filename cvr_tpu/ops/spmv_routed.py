@@ -127,6 +127,14 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     g1 = expand(
         sd.w8, sd.gcls, sd.seg_blk, sd.li, x2, sd.segw
     )  # (8, T, 128)
+    return route_post_expand(sd, g1)
+
+
+def route_post_expand(sd: SellRoutedDevice, g1: jax.Array) -> jax.Array:
+    """The x-independent tail of the routed pipeline (middle route,
+    reduce, y-route, extras) — shared by the single-chip path and the
+    ring-overlapped distributed path, whose expand runs piece by piece
+    (cvr_tpu/parallel/dist_routed.py)."""
     # Route middle up to the mstream (M3 is fused into the reduce).
     Tk = sd.mid.Tk
     if sd.mid.kind == "rec":

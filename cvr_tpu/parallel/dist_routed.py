@@ -78,10 +78,19 @@ def _natural_rcp(sm, n_ycalls, YB, CH):
 
 
 def dist_routed_pack(
-    csr: CSRMatrix, mesh: Mesh, split_len: int | None = None
+    csr: CSRMatrix,
+    mesh: Mesh,
+    split_len: int | None = None,
+    overlap: bool = False,
 ) -> DistRoutedMatrix:
     """Partition rows by nnz, SELL-R-pack each shard under one forced
-    geometry, stack the planes and device_put them sharded."""
+    geometry, stack the planes and device_put them sharded.
+
+    ``overlap=True`` additionally bakes a ppermute-ring schedule into
+    every shard's stream tile order (formats/sell_routed.RingSpec) so
+    dist_spmv_routed(..., overlap=True) can run the expand pass piece by
+    piece, hidden behind the ring moving the next x piece over ICI.
+    """
     from cvr_tpu import _native
     from cvr_tpu.ops.pallas_route import CH, SEGW, TB, YB
 
@@ -115,6 +124,45 @@ def dist_routed_pack(
     ncols = csr.shape[1]
     nwin_total = -(-max(ncols, 1) // TILE)
     segw = min(SEGW, -(-nwin_total // 8) * 8)
+
+    if overlap:
+        from cvr_tpu.formats.sell_routed import (
+            RingSpec,
+            ring_block_unlock,
+            routed_stream_phase,
+        )
+
+        if D < 2:
+            raise ValueError("overlap needs a mesh with >= 2 devices")
+        force = RoutedForce(
+            rcp=rcp_u, nslices=nslices_u, T=None, nrows_out=rows_max,
+            n_extras=n_extras_u,
+        )
+        streams = [routed_stream_phase(sm, force) for sm in sms]
+        ncols_pad = -(-ncols // (128 * D)) * (128 * D)
+        Wr = ncols_pad // (128 * D)
+        probe = np.zeros(D, dtype=np.int64)
+        cnt_u = np.zeros(D, dtype=np.int64)
+        for i, st in enumerate(streams):
+            unl = ring_block_unlock(st, RingSpec(D, i, Wr, probe))
+            cnt_u = np.maximum(cnt_u, np.bincount(unl, minlength=D))
+        srs = [
+            pack_routed(
+                sm, force=force, ring=RingSpec(D, i, Wr, cnt_u), stream=st
+            )
+            for i, (sm, st) in enumerate(zip(sms, streams))
+        ]
+        if len({sr.ring_cnt for sr in srs}) != 1:
+            raise AssertionError("ring schedule failed to unify shards")
+        return _dist_routed_finish(
+            csr, mesh, bounds, srs,
+            ring_meta={
+                "ring_cnt": srs[0].ring_cnt,
+                "ring_nsegtab": max(sr.ring_nsegtab for sr in srs),
+                "ring_Wr": Wr,
+            },
+        )
+
     # per-shard stream tile count under the unified S_pad
     T_u = S_pad_u
     n_segs = -(-nwin_total // segw)
@@ -157,7 +205,15 @@ def dist_routed_pack(
         n_extras=n_extras_u,
     )
     srs = [pack_routed(sm, force=force) for sm in sms]
+    return _dist_routed_finish(csr, mesh, bounds, srs)
 
+
+def _dist_routed_finish(
+    csr, mesh: Mesh, bounds, srs, ring_meta: dict | None = None
+) -> DistRoutedMatrix:
+    """Stack the per-shard routed planes and device_put them sharded."""
+    D = mesh.devices.size
+    rows_max = max(int(b) for b in (bounds[1:] - bounds[:-1]))
     s0 = srs[0]
     mid_kind = s0.mid["kind"]
     ymid_kind = s0.y_ra["mid_planes"]["kind"]
@@ -194,6 +250,8 @@ def dist_routed_pack(
             planes_np[f"ymid_{k}"] = np.stack(
                 [sr.y_ra["mid_planes"][k] for sr in srs]
             )
+    if ring_meta is not None:
+        planes_np["seg_ring"] = np.stack([sr.seg_ring for sr in srs])
 
     sharding = NamedSharding(mesh, P(AXIS))
     planes = {k: jax.device_put(v, sharding) for k, v in planes_np.items()}
@@ -228,6 +286,8 @@ def dist_routed_pack(
         "ymid_kind": ymid_kind,
         "ymid_Tk": s0.y_ra["mid_planes"]["Tk"],
     }
+    if ring_meta is not None:
+        meta.update(ring_meta)
     return DistRoutedMatrix(
         planes=planes,
         meta=meta,
@@ -289,7 +349,10 @@ def _local_device(dm: DistRoutedMatrix, pl: dict) -> SellRoutedDevice:
 
 
 def dist_spmv_routed(
-    dm: DistRoutedMatrix, x: jax.Array, x_sharded: bool = False
+    dm: DistRoutedMatrix,
+    x: jax.Array,
+    x_sharded: bool = False,
+    overlap: bool = False,
 ) -> jax.Array:
     """y = A @ x across the mesh with the routed pipeline per shard.
 
@@ -297,9 +360,27 @@ def dist_spmv_routed(
     inside shard_map first; x is padded to a device multiple here and
     sliced after the gather, so any ncols works (not just multiples of
     the shard count).
+
+    overlap=True (requires a dist_routed_pack(..., overlap=True)
+    artifact and x_sharded=True) replaces the blocking all-gather with a
+    D-step ppermute ring: at step s each device updates its gathered-x
+    buffer with the piece it holds, starts the permute moving that piece
+    to its neighbour, and — while the permute is in flight on ICI — runs
+    the expand pass over exactly the stream blocks whose windows are
+    covered by the pieces received so far (the pack scheduled them
+    contiguously; formats/sell_routed.RingSpec).  The x-independent tail
+    (middle route, reduce, y-route) runs once after the ring.
     """
     nrows, ncols = dm.shape
     D = dm.n_shards
+    if overlap:
+        if not x_sharded:
+            raise ValueError("overlap requires x_sharded=True")
+        if "ring_cnt" not in dm.meta:
+            raise ValueError(
+                "overlap requires dist_routed_pack(..., overlap=True)"
+            )
+        return _dist_spmv_routed_overlap(dm, x)
     if x_sharded:
         ncols_pad = -(-ncols // D) * D
         if x.shape[0] != ncols_pad:
@@ -327,8 +408,100 @@ def dist_spmv_routed(
     return jnp.take(y_stacked.reshape(-1), dm.unpad_index, axis=0)
 
 
-def dist_spmv_routed_jit(dm: DistRoutedMatrix, x_sharded: bool = False):
+def _dist_spmv_routed_overlap(
+    dm: DistRoutedMatrix, x: jax.Array
+) -> jax.Array:
+    from cvr_tpu.ops.pallas_route import TB, expand_ring_step
+    from cvr_tpu.ops.spmv_routed import route_post_expand
+
+    nrows, ncols = dm.shape
+    D = dm.n_shards
+    m = dm.meta
+    cnt = m["ring_cnt"]
+    off = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(np.asarray(cnt, dtype=np.int64), out=off[1:])
+    nsegtab = max(int(m["ring_nsegtab"]), 1)
+    Wr = int(m["ring_Wr"])
+    segw8 = int(m["segw"]) * 8
+    n_segs = int(m["n_segs"])
+    ncols_pad = D * Wr * 128
+    if x.shape[0] != ncols_pad:
+        x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
+    # gathered-x buffer rows: every table slice (k_lo+c)*segw8+segw8+8
+    # for a referenced segment must be resident
+    XGR = max(n_segs * segw8 + 8, ncols_pad // 128)
+    perm_pairs = [(j, (j + 1) % D) for j in range(D)]
+
+    def fn(pl, xs):
+        i = jax.lax.axis_index(AXIS)
+        sd = _local_device(dm, pl)
+        seg_ring = pl["seg_ring"][0]
+        cur = xs.reshape(Wr, 128).astype(jnp.float32)
+        xg = jnp.zeros((XGR, 128), jnp.float32)
+        parts = []
+        for s in range(D):
+            p = (i - s) % D
+            xg = jax.lax.dynamic_update_slice(xg, cur, (p * Wr, 0))
+            # issue the permute BEFORE the expand so XLA can hide the
+            # ICI transfer behind the gather compute of this step
+            nxt = (
+                jax.lax.ppermute(cur, AXIS, perm_pairs)
+                if s < D - 1
+                else cur
+            )
+            if cnt[s]:
+                k_lo = (p * Wr) // segw8
+                tab = jnp.concatenate(
+                    [
+                        jax.lax.dynamic_slice(
+                            xg, ((k_lo + c) * segw8, 0), (segw8 + 8, 128)
+                        )
+                        for c in range(nsegtab)
+                    ],
+                    axis=0,
+                )
+                o0, o1 = int(off[s]), int(off[s + 1])
+                parts.append(
+                    expand_ring_step(
+                        o0,
+                        int(cnt[s]),
+                        jax.lax.slice_in_dim(sd.w8, o0 * TB, o1 * TB),
+                        jax.lax.slice_in_dim(
+                            sd.gcls, o0 * (TB // 8), o1 * (TB // 8)
+                        ),
+                        jax.lax.slice_in_dim(seg_ring, o0, o1),
+                        sd.li,
+                        tab,
+                        int(m["segw"]),
+                    )
+                )
+            cur = nxt
+        g1 = (
+            parts[0]
+            if len(parts) == 1
+            else jnp.concatenate(parts, axis=1)
+        )
+        return route_post_expand(sd, g1)[None]
+
+    mapped = shard_map(
+        fn,
+        mesh=dm.mesh,
+        in_specs=({k: P(AXIS) for k in dm.planes}, P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    y_stacked = mapped(dm.planes, x)
+    return jnp.take(y_stacked.reshape(-1), dm.unpad_index, axis=0)
+
+
+def dist_spmv_routed_jit(
+    dm: DistRoutedMatrix,
+    x_sharded: bool = False,
+    overlap: bool = False,
+):
     """A jitted closure over the matrix for iteration-heavy callers."""
     return jax.jit(
-        functools.partial(dist_spmv_routed, dm, x_sharded=x_sharded)
+        functools.partial(
+            dist_spmv_routed, dm, x_sharded=x_sharded, overlap=overlap
+        )
     )

