@@ -38,6 +38,7 @@ from cvr_tpu.formats.sell_window import (
     sell_pack_window,
 )
 from cvr_tpu.io.mmio import read_matrix_market, write_matrix_market
+from cvr_tpu.ops.spmm_lane import spmm_lane_pack
 from cvr_tpu.ops.spmv import spmv, spmm
 from cvr_tpu.ops.spmv_ref import spmv_csr_jnp, spmv_golden_numpy
 
@@ -65,6 +66,7 @@ __all__ = [
     "write_matrix_market",
     "spmv",
     "spmm",
+    "spmm_lane_pack",
     "spmv_csr_jnp",
     "spmv_golden_numpy",
 ]

@@ -220,6 +220,12 @@ def spmm(A, X, impl: str = "auto"):
     from cvr_tpu.formats.dia import DiaMatrix
     from cvr_tpu.formats.sell_routed import SellRouted
     from cvr_tpu.formats.sell_window import SellWindow
+    from cvr_tpu.ops.spmm_lane import (
+        LaneDevice,
+        LanePlan,
+        _jitted_spmm_lane,
+        to_device_lane,
+    )
     from cvr_tpu.ops.spmv_dia import (
         DiaDevice,
         _jitted_spmm_dia,
@@ -230,6 +236,11 @@ def spmm(A, X, impl: str = "auto"):
         _jitted_spmm_bsr,
         to_device_bsr,
     )
+
+    if isinstance(A, LanePlan):
+        A = to_device_lane(A)
+    if isinstance(A, LaneDevice):
+        return _jitted_spmm_lane()(A, jnp.asarray(X))
     from cvr_tpu.ops.spmv_routed import (
         SellRoutedDevice,
         _jitted_spmm_routed,

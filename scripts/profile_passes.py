@@ -40,10 +40,16 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument(
-        "--impl", default="routed", choices=["routed", "window", "dia"]
+        "--impl",
+        default="routed",
+        choices=["routed", "window", "dia", "bsr"],
     )
     ap.add_argument(
         "--matrix", default=None, choices=[None, "rmat", "banded"]
+    )
+    ap.add_argument(
+        "--rhs", type=int, default=128,
+        help="dense RHS columns for --impl bsr (SpMM)",
     )
     args = ap.parse_args()
 
@@ -52,6 +58,7 @@ def main() -> int:
     memarena.warm()
     if args.matrix is None:
         args.matrix = "rmat" if args.impl == "routed" else "banded"
+    rhs_k = args.rhs if args.impl == "bsr" else 0
 
     import jax
     import jax.numpy as jnp
@@ -104,6 +111,30 @@ def main() -> int:
             ("xla shifted-FMA", lambda s, x: spmv_dia_xla(s, x)),
             ("pallas roll kernel = full",
              lambda s, x: spmv_dia_pallas(s, x)),
+        ]
+    elif args.impl == "bsr":
+        # the MXU SpMM path: per-brick [128,128]x[128,K] dot_generals.
+        # Two alternatives profiled (not cumulative): the XLA
+        # gather+segment-sum formulation vs the fused Pallas kernel with
+        # scalar-prefetch X-block selection and revisited-output
+        # accumulation (the default; ops/pallas_bsr.py).
+        from cvr_tpu.formats.bsr import bsr_pack
+        from cvr_tpu.ops.pallas_bsr import bsr_spmm_pallas
+        from cvr_tpu.ops.spmm_bsr import spmm_bsr, to_device_bsr
+
+        t0 = time.perf_counter()
+        bm = bsr_pack(csr)
+        sdb = to_device_bsr(bm)
+        print(
+            f"pack: {time.perf_counter() - t0:.1f}s, "
+            f"bricks={bm.vals.shape[0]}, fill="
+            f"{csr.nnz / max(bm.vals.size, 1):.3f}"
+        )
+        sd = sdb
+        prefixes_override = [
+            ("xla gather+segsum SpMM", lambda s, X: spmm_bsr(s, X)),
+            ("pallas fused SpMM = full",
+             lambda s, X: bsr_spmm_pallas(s, X)),
         ]
     else:
         prefixes_override = None
@@ -184,7 +215,8 @@ def main() -> int:
 
             def body(i, carry):
                 acc, k = carry
-                x = jax.random.normal(k, (ncols,), jnp.float32)
+                shp = (ncols, rhs_k) if rhs_k else (ncols,)
+                x = jax.random.normal(k, shp, jnp.float32)
                 out = fn(s_in, x)
                 s2 = jnp.sum(out)
                 # data-dependent fold: never true at runtime, opaque to
@@ -246,20 +278,44 @@ def main() -> int:
         "xla shifted-FMA": len(getattr(sd, "offsets", ())) * csr.shape[0] * 8,
         "pallas roll kernel = full": len(getattr(sd, "offsets", ()))
         * csr.shape[0] * 4,
+        # bsr: brick values streamed once + the X block per brick
+        "xla gather+segsum SpMM": (
+            getattr(sd, "vals", np.zeros(0)).size * 4
+            + (
+                getattr(sd, "vals", np.zeros((0, 128))).shape[0]
+                * 128 * rhs_k * 4 * 2
+            )
+            if args.impl == "bsr"
+            else 0
+        ),
+        "pallas fused SpMM = full": (
+            getattr(sd, "vals", np.zeros(0)).size * 4
+            + getattr(sd, "vals", np.zeros((0, 128))).shape[0]
+            * 128 * rhs_k * 4
+            if args.impl == "bsr"
+            else 0
+        ),
     }
-    cumulative = args.impl != "dia"  # dia rows are alternatives
+    # dia/bsr rows are ALTERNATIVE implementations, not pipeline stages
+    cumulative = args.impl not in ("dia", "bsr")
     for name, t in times:
         dt = (t - prev) if cumulative else t
         prev = t
         gbps = traffic.get(name, 0) / max(dt, 1e-12) / 1e9
         print(f"{name:36s} {dt * 1e3:8.3f} {gbps:8.0f}")
     full = times[-1][1]
-    print(
-        f"\nfull SpMV: {full * 1e3:.3f} ms = "
-        f"{csr.nnz / full / 1e9:.2f} Gnnz/s = "
-        f"{2 * csr.nnz / full / 1e9:.2f} GFLOPS(2nnz), "
-        f"{100 * csr.nnz * 8 / full / bw:.1f}% of naive 8B/nnz roofline"
-    )
+    if rhs_k:
+        print(
+            f"\nfull SpMM (K={rhs_k}): {full * 1e3:.3f} ms = "
+            f"{2 * csr.nnz * rhs_k / full / 1e9:.1f} useful GFLOPS"
+        )
+    else:
+        print(
+            f"\nfull SpMV: {full * 1e3:.3f} ms = "
+            f"{csr.nnz / full / 1e9:.2f} Gnnz/s = "
+            f"{2 * csr.nnz / full / 1e9:.2f} GFLOPS(2nnz), "
+            f"{100 * csr.nnz * 8 / full / bw:.1f}% of naive 8B/nnz roofline"
+        )
     return 0
 
 

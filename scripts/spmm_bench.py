@@ -105,6 +105,48 @@ def bench_vmapped(name, coo, K, iters=5):
     return row
 
 
+def bench_lane(name, coo, K, iters=10):
+    """The K-in-lane SpMM: plane-order row gather + slice reduce (no
+    route; cvr_tpu/ops/spmm_lane.py)."""
+    import jax.numpy as jnp
+
+    from cvr_tpu.bench.harness import time_fn_iterated
+    from cvr_tpu.ops.spmm_lane import (
+        spmm_lane,
+        spmm_lane_pack,
+        to_device_lane,
+    )
+
+    csr = coo.to_csr()
+    t0 = time.perf_counter()
+    lp = spmm_lane_pack(csr)
+    pack_s = time.perf_counter() - t0
+    sd = to_device_lane(lp)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((csr.shape[1], K)).astype(np.float32)
+    m64 = csr.to_scipy().astype(np.float64)
+    Xv = X[:, : min(K, 8)]
+    Y = np.asarray(spmm_lane(sd, jnp.asarray(Xv)))
+    gold = m64 @ Xv.astype(np.float64)
+    scale = abs(m64) @ np.abs(Xv.astype(np.float64)) + 1e-30
+    maxrel = float((np.abs(Y - gold) / scale).max())
+    t = time_fn_iterated(
+        lambda a, V: spmm_lane(a, V), sd, jnp.asarray(X), iters, scale=0.05
+    )
+    row = {
+        "name": name,
+        "impl": "lane",
+        "K": K,
+        "nnz": csr.nnz,
+        "pack_s": round(pack_s, 3),
+        "spmm_s": t,
+        "useful_gflops": round(2 * csr.nnz * K / t / 1e9, 1),
+        "max_rel_err": maxrel,
+    }
+    print(json.dumps(row))
+    return row
+
+
 def main():
     import jax
 
@@ -112,7 +154,12 @@ def main():
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
-    from cvr_tpu.bench.synthetic import banded_matrix, fem_like, rgg_like
+    from cvr_tpu.bench.synthetic import (
+        banded_matrix,
+        fem_like,
+        rgg_like,
+        web_google_like,
+    )
 
     P = jax.lax.Precision
     rows = []
@@ -120,6 +167,11 @@ def main():
         coo = banded_matrix(200_000, bandwidth=27, seed=0)
         rows.append(bench_one("banded-200K", coo, 128, P.HIGHEST))
     else:
+        web = web_google_like()
+        for K in (32, 128):
+            rows.append(bench_lane("web-Google-like", web, K))
+        rows.append(bench_vmapped("web-Google-like", web, 128))
+        del web
         banded = banded_matrix(1_000_000, bandwidth=27, seed=0)
         for K in (32, 128, 256):
             rows.append(bench_one("banded-1M", banded, K, P.HIGHEST))
