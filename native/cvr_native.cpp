@@ -1715,32 +1715,29 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
   auto ps = std::unique_ptr<EdgePS[]>(new EdgePS[(size_t)n]);
   // Two pending tables: each level's src pairing is fused into the
   // PREVIOUS level's partition (edges pair in child-position order as
-  // they are appended), and the two children interleave.
-  std::vector<int32_t> pend0((size_t)T, -1), pend_ep0((size_t)T, -1);
-  std::vector<int32_t> pend1((size_t)T, -1), pend_ep1((size_t)T, -1);
+  // they are appended), and the two children interleave.  (epoch,
+  // index) pack into one int64 per src tile: a single load/store and a
+  // branchless pair test (see the partition loop).
+  std::vector<uint64_t> pend64a((size_t)T, 0), pend64b((size_t)T, 0);
   std::vector<int32_t> ruler_leader, succ_ruler;
   int32_t epoch = 0;
   {  // init + the level-0 pairing in one pass
-    const int32_t ep = ++epoch;
-    int32_t* pn = pend0.data();
-    int32_t* pe = pend_ep0.data();
+    const uint64_t ep = (uint64_t)(++epoch) << 32;
+    uint64_t* p64 = pend64a.data();
     for (int64_t i = 0; i < n; i++) {
       const int32_t p = perm[i];
       const int32_t u = p >> 10;
       ua[(size_t)i] = u;
       ga[(size_t)i] = (int32_t)i;
       va[(size_t)i] = li_flat ? li_flat[p] : (int16_t)(p & 1023);
-      if (pe[(size_t)u] != ep) {
-        pe[(size_t)u] = ep;
-        pn[(size_t)u] = (int32_t)i;
-      } else if (pn[(size_t)u] < 0) {
-        pn[(size_t)u] = (int32_t)i;
-      } else {
-        const int32_t o = pn[(size_t)u];
-        ps[(size_t)i].pu = o;
-        ps[(size_t)o].pu = (int32_t)i;
-        pn[(size_t)u] = -1;
-      }
+      const uint64_t pv = p64[(size_t)u];
+      const int32_t o = (int32_t)pv;
+      const bool do_pair = (pv & ~0xffffffffull) == ep && o >= 0;
+      const int32_t partner = do_pair ? o : (int32_t)i;
+      ps[(size_t)i].pu = partner;
+      ps[(size_t)partner].pu = (int32_t)i;
+      p64[(size_t)u] =
+          ep | (uint32_t)(do_pair ? (int32_t)-1 : (int32_t)i);
     }
   }
   int32_t* cu = ua.get();
@@ -1767,6 +1764,8 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
         int32_t* qv = (cu == ua.get()) ? ub.get() : ua.get();
         const int32_t base = (int32_t)((s0 / seg) * 2);
         for (int64_t e = s0; e < s1; e++) {
+          if (e + 24 < s1)
+            __builtin_prefetch(&qv[(size_t)cg[(size_t)(e + 24)]], 1);
           const int32_t la = ruler_leader[(size_t)ps[(size_t)e].seg];
           const int32_t lb =
               ruler_leader[(size_t)ps[(size_t)(e ^ 1)].seg];
@@ -1776,41 +1775,43 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
         }
         continue;
       }
-      // partition into the out buffers, pairing each child as it fills
+      // partition into the out buffers, pairing each child as it fills.
+      // Fully branchless body: the side pick is a 50/50 coin (a
+      // mispredict per edge costs ~5 ns), so the write front comes from
+      // an indexed pair and the 3-way pend chain collapses to cmovs —
+      // a lone unpaired edge writes a harmless self-loop that its later
+      // partner overwrites (per-(u, side) degrees are even, so every
+      // edge pairs before the level ends).  pend packs (epoch, index)
+      // in one int64 load/store.
       const int64_t na = seg / 2;
-      int64_t ia = s0, ib = s0 + na;
-      const int32_t epA = ++epoch, epB = ++epoch;
-      int32_t* pnA = pend0.data();
-      int32_t* peA = pend_ep0.data();
-      int32_t* pnB = pend1.data();
-      int32_t* peB = pend_ep1.data();
+      int64_t fronts[2] = {s0, s0 + na};
+      const int64_t ep2 = (int64_t)(epoch += 2);
+      const int64_t epA = ep2 - 1, epB = ep2;
+      uint64_t* p64A = pend64a.data();
+      uint64_t* p64B = pend64b.data();
       for (int64_t e = s0; e < s1; e++) {
         const int32_t la = ruler_leader[(size_t)ps[(size_t)e].seg];
         const int32_t lb = ruler_leader[(size_t)ps[(size_t)(e ^ 1)].seg];
-        const bool sideB = la > lb;
-        const int64_t d = sideB ? ib++ : ia++;
+        const int sideB = la > lb;
+        const int64_t d = fronts[sideB]++;
         if (__builtin_expect(d >= n, 0))
           return fail("route_compile: halving invariant violated");
         const int32_t u = cu[(size_t)e];
         ou[(size_t)d] = u;
         og[(size_t)d] = cg[(size_t)e];
         ov[(size_t)d] = cv[(size_t)e];
-        int32_t* pn = sideB ? pnB : pnA;
-        int32_t* pe = sideB ? peB : peA;
-        const int32_t ep = sideB ? epB : epA;
-        if (pe[(size_t)u] != ep) {
-          pe[(size_t)u] = ep;
-          pn[(size_t)u] = (int32_t)d;
-        } else if (pn[(size_t)u] < 0) {
-          pn[(size_t)u] = (int32_t)d;
-        } else {
-          const int32_t o = pn[(size_t)u];
-          ps[(size_t)d].pu = o;
-          ps[(size_t)o].pu = (int32_t)d;
-          pn[(size_t)u] = -1;
-        }
+        uint64_t* p64 = sideB ? p64B : p64A;
+        const uint64_t ep = (uint64_t)(sideB ? epB : epA) << 32;
+        const uint64_t pv = p64[(size_t)u];
+        const int32_t o = (int32_t)pv;
+        const bool do_pair = (pv & ~0xffffffffull) == ep && o >= 0;
+        const int32_t partner = do_pair ? o : (int32_t)d;
+        ps[(size_t)d].pu = partner;
+        ps[(size_t)partner].pu = (int32_t)d;
+        p64[(size_t)u] =
+            ep | (uint32_t)(do_pair ? (int32_t)-1 : (int32_t)d);
       }
-      if (ia != s0 + na || ib != s1)
+      if (fronts[0] != s0 + na || fronts[1] != s1)
         return fail("route_compile: halving imbalance");
     }
     if (euler_debug())
@@ -1827,6 +1828,13 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
      // column window; only the s1_ss write (random a) misses.
     const int32_t* qv = (cu == ua.get()) ? ub.get() : ua.get();
     for (int64_t i = 0; i < n; i++) {
+      if (i + 16 < n) {
+        const int32_t qn = qv[(size_t)(i + 16)] >> 16;
+        const int64_t an = (int64_t)(perm[i + 16] >> 10);
+        __builtin_prefetch(
+            &s1_ss[((int64_t)(qn >> 7) * Tp + an) * 128 + (qn & 127)], 1);
+        __builtin_prefetch(&mid[(int64_t)qn * T + ((i + 16) >> 10)], 1);
+      }
       const int32_t q = qv[(size_t)i] >> 16;
       const int16_t v = (int16_t)(qv[(size_t)i] & 0xffff);
       const int64_t a = (int64_t)(perm[i] >> 10);
