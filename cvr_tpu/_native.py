@@ -176,7 +176,17 @@ def get_lib():
         _i64, _i64p, _i32p, _f32p, _i64, _i64, _i64, _i64,
         _i16p, _f32p, _i64, _i32p, _i32p, _f32p,
     ]
-    if lib.cvr_version() != 15:
+    lib.cvr_route_compile_zone.restype = ctypes.c_int
+    lib.cvr_route_compile_zone.argtypes = [
+        _i64, _i32p, _i64, _i64, _i64, ctypes.c_void_p, _i16p, _i32p,
+        _i16p, _i64, _i64p, _i32p, _i64, _i32p, _i32p,
+    ]
+    lib.cvr_zone_scatter.restype = ctypes.c_int
+    lib.cvr_zone_scatter.argtypes = [
+        _i64, _i64, _i64p, _i64, _i64p, _i32p, _i64p, _i64, _i32p,
+        _f32p, _i32p, _f32p,
+    ]
+    if lib.cvr_version() != 16:
         return None
     _LIB = lib
     return _LIB
@@ -669,6 +679,69 @@ def route_compile_native(perm, T: int, Tp: int, S_dst: int, li_flat=None):
     if rc != 0:
         raise NativeError(native_error(lib))
     return s1, mid, p3
+
+
+def route_compile_zone_native(
+    perm, T: int, Tp: int, S_dst: int, li_flat, nslA: int, zr0, zw,
+    zrows: int, row_slice,
+):
+    """Fused route compile with zone-A lambda-segment slices (v4): the
+    first three Euler levels pair the dst side per (slice, lane) block
+    and a positional re-scatter sets every zone-A edge's slot sublane
+    equal to its color's top-3 bits — the reduce's stage-3 becomes one
+    lane-gather per sublane (ops/pallas_route.py fast kernels).
+
+    Returns (s1_ss, mid, p3_ss, r2) where r2[final] = provisional plane
+    position (permute the value planes with it)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    perm = np.ascontiguousarray(perm, dtype=np.int32)
+    s1 = np.zeros((8, Tp, 128), dtype=np.int16)
+    mid = np.empty((1024, T), dtype=np.int32)
+    p3 = np.zeros((8, S_dst, 128), dtype=np.int16)
+    r2 = np.empty(perm.shape[0], dtype=np.int32)
+    li_flat = np.ascontiguousarray(li_flat, dtype=np.int16)
+    rc = lib.cvr_route_compile_zone(
+        perm.shape[0], perm, T, Tp, S_dst, li_flat.ctypes.data, s1, mid,
+        p3, nslA,
+        np.ascontiguousarray(zr0, dtype=np.int64),
+        np.ascontiguousarray(zw, dtype=np.int32),
+        zrows,
+        np.ascontiguousarray(row_slice, dtype=np.int32),
+        r2,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return s1, mid, p3, r2
+
+
+def zone_scatter_native(
+    oldoff, zsl_old: int, zr0, lane_len, rmapB, S_padded: int,
+    cols_plane, vals_plane,
+):
+    """Scatter the SELL planes into the routed provisional layout
+    (zone-A lambda-segment slices + zone-B row shift) in one pass.
+    Returns (cols_prov (S_padded,1024) i32, vals_prov f32)."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeError("native library unavailable")
+    oldoff = np.ascontiguousarray(oldoff, dtype=np.int64)
+    cols_plane = np.ascontiguousarray(cols_plane, dtype=np.int32)
+    vals_plane = np.ascontiguousarray(vals_plane, dtype=np.float32)
+    S_old = cols_plane.shape[0]
+    cols_out = np.empty((S_padded, 1024), dtype=np.int32)
+    vals_out = np.empty((S_padded, 1024), dtype=np.float32)
+    rc = lib.cvr_zone_scatter(
+        S_old, oldoff.shape[0] - 1, oldoff, zsl_old,
+        np.ascontiguousarray(zr0, dtype=np.int64),
+        np.ascontiguousarray(lane_len, dtype=np.int32),
+        np.ascontiguousarray(rmapB, dtype=np.int64),
+        S_padded, cols_plane, vals_plane, cols_out, vals_out,
+    )
+    if rc != 0:
+        raise NativeError(native_error(lib))
+    return cols_out, vals_out
 
 
 def dia_offsets_native(rowptr, cols, nrows: int, ncols: int):

@@ -108,6 +108,90 @@ class RoutedStream:
     nslices: int
     nslices_u: int
     pt: PhaseTimer
+    zone: dict | None = None  # lambda-segment zone plan (see _zone_plan)
+    vals_prov: np.ndarray | None = None  # (S_padded,1024) f32 zone layout
+
+
+# Zone-A eligibility: a 128-segment group joins the lambda-segment zone
+# when its longest segment has >= ZONE_MINLEN nnz — below that, the
+# round-to-8 slot padding (8*ceil(len/8) slots per segment) outweighs
+# the finer-granularity width win (measured on web/wiki-like packs:
+# minlen 8 keeps the padded stream within ~1% of the legacy layout
+# while covering ~85-90% of the plane rows).
+ZONE_MINLEN = 8
+
+
+def _zone_plan(sm: SellMatrix, YB: int, CH: int):
+    """Plan the lambda-segment zone split (v4 routed layout).
+
+    Zone A re-groups the longest sorted segments into 128-segment
+    slices: segment g sits at lane g & 127 of slice g >> 7, its
+    elements fill the slice's (row, sublane) slots freely — the slot
+    freedom the route compiler uses to make every zone-A edge's color
+    satisfy (q >> 7) == slot sublane (native route_compile_zone), which
+    collapses the reduce kernel's stage-3 to one lane-gather per
+    sublane.  Zone B (short segments) keeps the legacy layout.  Returns
+    None when nothing qualifies.
+    """
+    if sm.sigma != 0:
+        return None
+    L = sm.lane_lengths.astype(np.int64)
+    P = L.shape[0]
+    if P == 0 or P % 1024:
+        return None
+    g128 = L.reshape(-1, 128).max(axis=1)
+    za = g128 >= ZONE_MINLEN
+    nza = int(za.shape[0]) if za.all() else int(np.argmin(za))
+    nza8 = (nza // 8) * 8  # zone boundary on an old-slice boundary
+    if nza8 == 0:
+        return None
+    zsl_old = nza8 // 8
+    nslA = nza8
+    widthsA = (-(-g128[:nza8] // 8)).astype(np.int64)
+    old_widths = np.diff(sm.slice_offsets.astype(np.int64))
+    widths_mixed = np.concatenate([widthsA, old_widths[zsl_old:]])
+    offs_mixed = np.zeros(widths_mixed.shape[0] + 1, dtype=np.int64)
+    np.cumsum(widths_mixed, out=offs_mixed[1:])
+    nslices = int((widths_mixed > 0).sum())
+    if (widths_mixed[nslices:] != 0).any():
+        raise AssertionError("zero-width slices must be trailing")
+    S_mixed = int(offs_mixed[-1])
+    rmap, ycall_rows, regions, S_padded = _plan_layout(
+        offs_mixed, nslices, nslices, S_mixed, YB, CH, None
+    )
+    zr0 = rmap[offs_mixed[:nslA]]
+    b = int(offs_mixed[nslA])
+    zrows = int(rmap[b]) if b < S_mixed else S_padded
+    wsum = int(widthsA.sum())
+    row_slice = np.full(zrows, -1, dtype=np.int32)
+    starts = np.repeat(zr0, widthsA)
+    within = np.arange(wsum, dtype=np.int64) - np.repeat(
+        np.cumsum(widthsA) - widthsA, widthsA
+    )
+    row_slice[starts + within] = np.repeat(
+        np.arange(nslA, dtype=np.int32), widthsA
+    )
+    # zone-B old rows -> padded rows (old slices map 1:1 past the zone)
+    S_old = sm.n_slots
+    zrows_old = int(sm.slice_offsets[zsl_old])
+    rmapB = np.zeros(S_old, dtype=np.int64)
+    rmapB[zrows_old:] = rmap[wsum : wsum + S_old - zrows_old]
+    return {
+        "nslA": nslA,
+        "zsl_old": zsl_old,
+        "zr0": np.ascontiguousarray(zr0, dtype=np.int64),
+        "zw": np.ascontiguousarray(widthsA, dtype=np.int32),
+        "zrows": zrows,
+        "row_slice": row_slice,
+        "rmapB": rmapB,
+        "rmap": rmap,
+        "offs": offs_mixed,
+        "ycall_rows": ycall_rows,
+        "regions": regions,
+        "S_padded": S_padded,
+        "nslices": nslices,
+        "yslices": nslA // 8 + (nslices - nslA),
+    }
 
 
 def _round_up(x: int, m: int) -> int:
@@ -155,6 +239,10 @@ class SellRouted:
     seg_ring: np.ndarray | None = None
     ring_cnt: tuple | None = None
     ring_nsegtab: int = 0
+    # lambda-segment zone (v4 aligned stage-3; 0 = legacy artifact)
+    nslA: int = 0  # zone-A slices (128 segments each, leading)
+    zone_rows: int = 0  # padded plane rows covered by zone A
+    yslices: int = 0  # y-stream tiles (nslA//8 + zone-B slices)
 
 
 def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
@@ -206,20 +294,42 @@ def routed_stream_phase(
     pt = PhaseTimer()
     S = sm.n_slots
     nrows, ncols = sm.shape
-    widths_all = np.diff(sm.slice_offsets)
-    nslices = int((widths_all > 0).sum())
-    if (widths_all[nslices:] != 0).any():
-        raise AssertionError("zero-width slices must be trailing")
-    nslices = max(nslices, 1)
-    nslices_u = nslices
-    if force is not None and force.nslices is not None:
-        if force.nslices < nslices:
-            raise ValueError("force.nslices below natural slice count")
-        nslices_u = force.nslices
-    offs = sm.slice_offsets.astype(np.int64)
-    rmap, ycall_rows, regions, S_padded = _plan_layout(
-        offs, nslices, nslices_u, S, YB, CH, force
-    )
+    zone = None
+    vals_prov = None
+    if force is None and hasattr(_native, "route_compile_zone_native"):
+        with pt.phase("zone_plan"):
+            zone = _zone_plan(sm, YB, CH)
+    if zone is not None:
+        nslices = nslices_u = zone["nslices"]
+        offs = zone["offs"]
+        rmap = zone["rmap"]
+        ycall_rows = zone["ycall_rows"]
+        regions = zone["regions"]
+        S_padded = zone["S_padded"]
+        with pt.phase("zone_scatter"):
+            cols_used, vals_prov = _native.zone_scatter_native(
+                sm.slice_offsets, zone["zsl_old"], zone["zr0"],
+                sm.lane_lengths, zone["rmapB"], S_padded,
+                sm.cols_plane, sm.vals_plane,
+            )
+        rmap_used = np.arange(S_padded, dtype=np.int64)
+    else:
+        widths_all = np.diff(sm.slice_offsets)
+        nslices = int((widths_all > 0).sum())
+        if (widths_all[nslices:] != 0).any():
+            raise AssertionError("zero-width slices must be trailing")
+        nslices = max(nslices, 1)
+        nslices_u = nslices
+        if force is not None and force.nslices is not None:
+            if force.nslices < nslices:
+                raise ValueError("force.nslices below natural slice count")
+            nslices_u = force.nslices
+        offs = sm.slice_offsets.astype(np.int64)
+        rmap, ycall_rows, regions, S_padded = _plan_layout(
+            offs, nslices, nslices_u, S, YB, CH, force
+        )
+        cols_used = sm.cols_plane
+        rmap_used = rmap
     force_T = 0 if force is None or force.T is None else int(force.T)
     nwin_total = -(-max(ncols, 1) // 1024)
     segw = min(SEGW, _round_up(nwin_total, 8))
@@ -228,7 +338,7 @@ def routed_stream_phase(
     with pt.phase("stream"):
         perm, li_flat, w8_arr, cand, seg_blk, T, T_src_p = (
             _native.stream_build2_native(
-                rmap, sm.cols_plane, S_padded, nsw_total, segw, TB,
+                rmap_used, cols_used, S_padded, nsw_total, segw, TB,
                 force_T,
             )
         )
@@ -249,6 +359,7 @@ def routed_stream_phase(
         T=T, T_src_p=T_src_p, segw=segw, n_segs=n_segs, rmap=rmap,
         offs=offs, ycall_rows=ycall_rows, regions=regions,
         S_padded=S_padded, nslices=nslices, nslices_u=nslices_u, pt=pt,
+        zone=zone, vals_prov=vals_prov,
     )
 
 
@@ -392,10 +503,22 @@ def pack_routed(
             with pt.phase("ring_schedule"):
                 seg_ring, cnt_u, ring_nsegtab = _ring_permute(st, ring)
                 ring_cnt = tuple(int(c) for c in cnt_u)
+        if ring is not None and st.zone is not None:
+            raise ValueError("ring scheduling requires a legacy (non-"
+                             "zone) stream; pass a force geometry")
         with pt.phase("route_plan"):
-            li_ss, mid_arr, p3_ss = _nat.route_compile_native(
-                st.perm, st.T, st.T, st.S_padded, st.li_flat
-            )
+            if st.zone is not None:
+                z = st.zone
+                li_ss, mid_arr, p3_ss, r2 = _nat.route_compile_zone_native(
+                    st.perm, st.T, st.T, st.S_padded, st.li_flat,
+                    z["nslA"], z["zr0"], z["zw"], z["zrows"],
+                    z["row_slice"],
+                )
+            else:
+                li_ss, mid_arr, p3_ss = _nat.route_compile_native(
+                    st.perm, st.T, st.T, st.S_padded, st.li_flat
+                )
+                r2 = None
             n_fillers = st.T * TILE - st.S_padded * TILE
         with pt.phase("fuse_planes"):
             mid = middle_planes_from(mid_arr, st.T)
@@ -403,7 +526,7 @@ def pack_routed(
             sm, pt, force, st.offs, st.ycall_rows, st.regions, st.rmap,
             st.nslices, st.nslices_u, st.S_padded, st.w8, li_ss,
             st.seg_blk, mid, p3_ss, st.T, st.n_segs, st.segw, n_fillers,
-            st.gcls,
+            st.gcls, zone=st.zone, vals_prov=st.vals_prov, r2=r2,
         )
         sr.seg_ring = seg_ring
         sr.ring_cnt = ring_cnt
@@ -705,7 +828,7 @@ def _check_T(T: int) -> None:
 def _pack_routed_tail(
     sm, pt, force, offs, ycall_rows, regions, rmap, nslices, nslices_u,
     S_pad, w8_arr, li_ss, seg_blk, mid, p3_ss, T, n_segs, segw, n_fillers,
-    gcls,
+    gcls, zone=None, vals_prov=None, r2=None,
 ) -> SellRouted:
     """Shared reduce-aux + y-route construction (native and numpy paths)."""
     from cvr_tpu.ops.pallas_route import YB
@@ -719,8 +842,16 @@ def _pack_routed_tail(
         nrows_out = force.nrows_out
 
     with pt.phase("reduce_aux"):
-        vals = np.zeros((S_pad, TILE), dtype=np.float32)
-        vals[rmap] = sm.vals_plane.astype(np.float32)
+        if zone is not None:
+            # zone layout: values sit at provisional positions; r2 maps
+            # every final plane position to its provisional source
+            # (identity outside zone A)
+            vals = vals_prov.reshape(-1)[
+                r2[: S_pad * TILE].astype(np.int64)
+            ].reshape(S_pad, TILE)
+        else:
+            vals = np.zeros((S_pad, TILE), dtype=np.float32)
+            vals[rmap] = sm.vals_plane.astype(np.float32)
         vals_ss = np.ascontiguousarray(
             vals.reshape(S_pad, 8, 128).transpose(1, 0, 2)
         )
@@ -741,7 +872,11 @@ def _pack_routed_tail(
         first_pos[seg_row[is_first]] = np.flatnonzero(is_first)
         if (first_pos < 0).any():
             raise AssertionError("row without a first segment")
-        Ty = _round_up(max(-(-nrows_out // TILE), nslices_u), 128)
+        # y-stream tiles: with the zone, zone-A slices contribute 128
+        # (folded) segment sums each, compacted 8 slices per tile —
+        # the y flat position of segment g stays g in both layouts.
+        y_tiles = zone["yslices"] if zone is not None else nslices_u
+        Ty = _round_up(max(-(-nrows_out // TILE), y_tiles), 128)
         # Rows whose (zero-length) first segment sorts beyond the
         # effective slices fall outside the shrunken y-route; they route
         # from arbitrary free positions and a fused row mask zeroes
@@ -820,6 +955,9 @@ def _pack_routed_tail(
         n_fillers=n_fillers,
         convert_time=pt.total,
         convert_phases=dict(pt.phases),
+        nslA=zone["nslA"] if zone is not None else 0,
+        zone_rows=zone["zrows"] if zone is not None else 0,
+        yslices=zone["yslices"] if zone is not None else nslices_u,
     )
 
 
@@ -842,6 +980,8 @@ def save_routed(sr: SellRouted, path) -> None:
         nslices=np.int64(sr.nslices), segw=np.int64(sr.segw),
         n_segs=np.int64(sr.n_segs),
         n_fillers=np.int64(sr.n_fillers),
+        nslA=np.int64(sr.nslA), zone_rows=np.int64(sr.zone_rows),
+        yslices=np.int64(sr.yslices),
         mid_kind=np.bytes_(sr.mid["kind"].encode()),
         mid_Tk=np.int64(sr.mid["Tk"]),
         ymid_kind=np.bytes_(ymid["kind"].encode()),
@@ -889,4 +1029,7 @@ def load_routed(path) -> SellRouted:
         S_pad=int(z["S_pad"]), nslices=int(z["nslices"]),
         segw=int(z["segw"]), n_segs=int(z["n_segs"]),
         n_fillers=int(z["n_fillers"]),
+        nslA=int(z["nslA"]) if "nslA" in z else 0,
+        zone_rows=int(z["zone_rows"]) if "zone_rows" in z else 0,
+        yslices=int(z["yslices"]) if "yslices" in z else int(z["nslices"]),
     )

@@ -597,8 +597,8 @@ def reduce_slices(
 
 
 def _reduce_m3_kernel(
-    ofs: int, emit_ref, gemit_ref, m_ref, m3_ref, v_ref, p3_ref, y_ref,
-    acc_ref, p_ref
+    ofs: int, s3fast: bool, emit_ref, gemit_ref, m_ref, m3_ref, v_ref,
+    p3_ref, y_ref, acc_ref, p_ref
 ):
     blk = pl.program_id(0)
 
@@ -619,14 +619,20 @@ def _reduce_m3_kernel(
     t2 = jnp.transpose(g.reshape(8, 128, 128), (0, 2, 1))
 
     # Stage-3 (p3) gather + FMA at full width, staged through scratch.
+    # Zone-A rows (s3fast): the pack made every color's top-3 bits
+    # equal its slot sublane, so sublane i gathers from t2[i] alone —
+    # one lane-gather, no hi selects (sell_routed._zone_plan).
     for i in range(8):
         idx = p3_ref[i].astype(jnp.int32)
         lo = jnp.bitwise_and(idx, 127)
-        hi = jax.lax.shift_right_logical(idx, 7)
-        acc = jnp.zeros(lo.shape, jnp.float32)
-        for s in range(8):
-            cand = jnp.take_along_axis(t2[s], lo, axis=1)
-            acc = jnp.where(hi == s, cand, acc)
+        if s3fast:
+            acc = jnp.take_along_axis(t2[i], lo, axis=1)
+        else:
+            hi = jax.lax.shift_right_logical(idx, 7)
+            acc = jnp.zeros(lo.shape, jnp.float32)
+            for s in range(8):
+                cand = jnp.take_along_axis(t2[s], lo, axis=1)
+                acc = jnp.where(hi == s, cand, acc)
         p_ref[i] = acc * v_ref[i]
 
     _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref)
@@ -634,7 +640,8 @@ def _reduce_m3_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _reduce_m3_call(
-    S_rows: int, nslices: int, ofs: int, Tslabs: int, interpret: bool
+    S_rows: int, nslices: int, ofs: int, Tslabs: int, s3fast: bool,
+    interpret: bool,
 ):
     if CH != 128:
         raise ValueError("reduce_m3 requires CH == 128")
@@ -674,7 +681,7 @@ def _reduce_m3_call(
 
     def fn(emit, gemit, m, m3, vals, p3):
         return pl.pallas_call(
-            functools.partial(_reduce_m3_kernel, ofs),
+            functools.partial(_reduce_m3_kernel, ofs, s3fast),
             grid_spec=spec,
             out_shape=jax.ShapeDtypeStruct((8, nslices, 128), jnp.float32),
             interpret=interpret,
@@ -700,8 +707,8 @@ def _reduce_m3_call(
 # ---------------------------------------------------------------------------
 
 
-def _reduce_m3_regular_kernel(ofs: int, w: int, m_ref, m3_ref, v_ref,
-                              p3_ref, o_ref):
+def _reduce_m3_regular_kernel(ofs: int, w: int, s3fast: bool, m_ref,
+                              m3_ref, v_ref, p3_ref, o_ref):
     idx3 = m3_ref[0].astype(jnp.int32)
     lo3 = jnp.bitwise_and(idx3, 127)
     hi3 = jax.lax.shift_right_logical(idx3, 7)
@@ -715,18 +722,22 @@ def _reduce_m3_regular_kernel(ofs: int, w: int, m_ref, m3_ref, v_ref,
     for i in range(8):
         idx = p3_ref[i].astype(jnp.int32)
         lo = jnp.bitwise_and(idx, 127)
-        hi = jax.lax.shift_right_logical(idx, 7)
-        acc = jnp.zeros(lo.shape, jnp.float32)
-        for s in range(8):
-            cand = jnp.take_along_axis(t2[s], lo, axis=1)
-            acc = jnp.where(hi == s, cand, acc)
+        if s3fast:
+            acc = jnp.take_along_axis(t2[i], lo, axis=1)
+        else:
+            hi = jax.lax.shift_right_logical(idx, 7)
+            acc = jnp.zeros(lo.shape, jnp.float32)
+            for s in range(8):
+                cand = jnp.take_along_axis(t2[s], lo, axis=1)
+                acc = jnp.where(hi == s, cand, acc)
         rows.append(acc * v_ref[i])
     p = jnp.stack(rows, axis=0)  # (8, CH, 128)
     o_ref[...] = p.reshape(8, CH // w, w, 128).sum(axis=2)
 
 
 @functools.lru_cache(maxsize=None)
-def _reduce_m3_regular_call(S_rows: int, w: int, ofs: int, interpret: bool):
+def _reduce_m3_regular_call(S_rows: int, w: int, ofs: int, s3fast: bool,
+                            interpret: bool):
     if CH != 128:
         raise ValueError("reduce_m3_regular requires CH == 128")
     if 128 % w or w > 8:
@@ -763,7 +774,7 @@ def _reduce_m3_regular_call(S_rows: int, w: int, ofs: int, interpret: bool):
 
     def fn(m, m3, vals, p3):
         return pl.pallas_call(
-            functools.partial(_reduce_m3_regular_kernel, ofs, w),
+            functools.partial(_reduce_m3_regular_kernel, ofs, w, s3fast),
             grid_spec=spec,
             out_shape=jax.ShapeDtypeStruct(
                 (8, S_rows // w, 128), jnp.float32
@@ -784,18 +795,20 @@ def reduce_m3_regular(
     p3: jax.Array,
     w: int,
     ofs: int,
+    s3fast: bool = False,
 ) -> jax.Array:
     """Per-slice sums over a width-w regular region (no emission sweep).
 
     vals/p3: the region's plane-row slices (8, nr, 128), nr a multiple
     of CH; m/m3: the FULL mstream and M3 planes; w in {1, 2, 4, 8} must
     divide CH and every slice in the region has exactly w rows.
+    s3fast: the rows are zone-A (aligned stage-3, one gather/sublane).
     Returns (8, nr // w, 128) slice sums in region slice order.
     """
     S_rows = vals.shape[1]
     if S_rows % CH:
         raise ValueError("region rows must be a multiple of CH")
-    return _reduce_m3_regular_call(S_rows, w, ofs, use_interpret())(
+    return _reduce_m3_regular_call(S_rows, w, ofs, s3fast, use_interpret())(
         m, m3, vals, p3
     )
 
@@ -809,20 +822,22 @@ def reduce_m3_slices(
     p3: jax.Array,
     nslices: int,
     ofs: int,
+    s3fast: bool = False,
 ) -> jax.Array:
     """Fused M3 + relayout + stage-3 + per-slice reduce.
 
     emit/vals/p3 are this call's plane-row slices ((8, nr, 128) etc.);
     m/m3 are the FULL mstream and M3 planes (8, Tk*1024, 128); ofs is the
     call's first plane row divided by CH (so in-kernel chunk math lines
-    up with global d-chunks).
+    up with global d-chunks).  s3fast: all rows are zone-A (aligned
+    stage-3, one lane-gather per sublane — see sell_routed._zone_plan).
     """
     S_rows = emit.shape[0]
     if S_rows % CH:
         raise ValueError("emit length must be a multiple of CH")
     nsp = _round_up(max(nslices, 8), 8)
     out = _reduce_m3_call(
-        S_rows, nsp, ofs, m.shape[1], use_interpret()
+        S_rows, nsp, ofs, m.shape[1], s3fast, use_interpret()
     )(emit, gemit, m, m3, vals, p3)
     return out[:, :nslices]
 

@@ -57,7 +57,7 @@ from cvr_tpu.ops.pallas_route import _mid_fused_call, use_interpret
     ],
     meta_fields=[
         "shape", "T", "S", "S_pad", "nslices", "segw", "n_segs",
-        "ycall_rows", "regions",
+        "ycall_rows", "regions", "nslA", "zone_rows", "yslices",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +84,9 @@ class SellRoutedDevice:
     nslices: int
     segw: int
     n_segs: int
+    nslA: int = 0  # leading lambda-segment (zone-A) slices
+    zone_rows: int = 0  # padded plane rows with aligned stage-3
+    yslices: int = 0  # y-stream tiles after the zone-A fold/compact
 
 
 def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
@@ -115,6 +118,9 @@ def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
         nslices=sr.nslices,
         segw=sr.segw,
         n_segs=sr.n_segs,
+        nslA=sr.nslA,
+        zone_rows=sr.zone_rows,
+        yslices=sr.yslices if sr.yslices else sr.nslices,
     )
 
 
@@ -177,6 +183,7 @@ def route_post_expand(sd: SellRoutedDevice, g1: jax.Array) -> jax.Array:
                 sd.p3[:, r0 : r0 + nr],
                 nsl,
                 ofs=r0 // CH,
+                s3fast=(r0 + nr <= sd.zone_rows),
             )
             ys_g = piece if ys_g is None else ys_g + piece
         if ys_g is None:
@@ -189,16 +196,24 @@ def route_post_expand(sd: SellRoutedDevice, g1: jax.Array) -> jax.Array:
                 sd.p3[:, r0 : r0 + nr],
                 w,
                 ofs=r0 // CH,
+                s3fast=(r0 + nr <= sd.zone_rows),
             )
             ys_g = jax.lax.dynamic_update_slice(ys_g, piece, (0, srel, 0))
         parts.append(ys_g)
     ys = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
-    # y-route: per-slice lane sums -> natural row order.  The reduce
-    # output (8, nslices, 128) IS the route's stream layout (tile = slice,
-    # pos = lane): pad the slice axis and route with zero relayouts.
+    # y-route: per-segment sums -> natural row order.  Zone-A slices
+    # (128 lambda-segments each) fold their 8 sublane partials and
+    # compact 8 slices per stream tile, so the y flat position of
+    # segment g is g in both layouts; zone-B slices are stream tiles
+    # directly (tile = slice, pos = lane).
+    if sd.nslA:
+        nA = sd.nslA
+        ysA = ys[:, :nA, :].sum(axis=0)  # (nA, 128) segment sums
+        sA = jnp.transpose(ysA.reshape(nA // 8, 8, 128), (1, 0, 2))
+        ys = jnp.concatenate([sA, ys[:, nA:, :]], axis=1)
     yT = sd.yroute.Tp
-    ysp = jnp.pad(ys, ((0, 0), (0, yT * 1 - sd.nslices), (0, 0)))
+    ysp = jnp.pad(ys, ((0, 0), (0, yT - (sd.yslices or sd.nslices)), (0, 0)))
     y = apply_route_stream(sd.yroute, ysp)
     if sd.ymask.shape[0]:
         # empty rows whose segments sorted beyond the effective slices

@@ -1694,11 +1694,32 @@ static void chase_leaders(EdgePS* ps, int64_t s0,
   }
 }
 
-int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
-                      int64_t S_dst, const int16_t* li_flat, int16_t* s1_ss,
-                      int32_t* mid, int16_t* p3_ss) {
+// Core of the fused route compile.  Zone-A support (v4, "aligned
+// stage-3"): plane rows < zrows whose row_slice[r] >= 0 belong to
+// lambda-segment slices — slice s covers padded rows [zr0[s], zr0[s] +
+// zw[s]), each of its 128 lanes holds ONE segment whose elements fill
+// the (row, sublane) slots freely.  The first three Euler levels pair
+// the dst side per (slice, lane) block (degree 8*zw[s], even at every
+// level), so after three levels each block holds exactly zw[s] edges
+// per top-3-bit class h; a positional re-scatter then assigns them to
+// the block's rows with NEW sublane == h.  The remaining seven levels
+// see a 128-regular graph (128 per dst tile: one per lane), so the
+// final color q of every zone-A edge satisfies (q >> 7) == its slot
+// sublane — the reduce kernel's stage-3 needs one lane-gather per
+// sublane instead of 8 gather+select pairs (ops/pallas_route.py).
+// r2[final_pos] = provisional_pos records the re-scatter so the caller
+// can permute the value planes (identity outside zone A).
+static int route_compile_core(int64_t n, const int32_t* perm, int64_t T,
+                              int64_t Tp, int64_t S_dst,
+                              const int16_t* li_flat, int16_t* s1_ss,
+                              int32_t* mid, int16_t* p3_ss, int64_t nslA,
+                              const int64_t* zr0, const int32_t* zw,
+                              int64_t zrows, const int32_t* row_slice,
+                              int32_t* r2) {
   if (n != T * 1024) return fail("perm length must be T*1024");
   if (Tp < T) return fail("Tp must be >= T");
+  if (nslA && (!zr0 || !zw || !row_slice || !r2))
+    return fail("zone tables required when nslA > 0");
   // The per-edge state carried through the levels is (src tile u, gid,
   // payload v) where v is the int16 the emission will write (li_flat[p]
   // for the expand plane, p & 1023 for the y-route) — gathered ONCE at
@@ -1721,23 +1742,42 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
   std::vector<uint64_t> pend64a((size_t)T, 0), pend64b((size_t)T, 0);
   std::vector<int32_t> ruler_leader, succ_ruler;
   int32_t epoch = 0;
-  {  // init + the level-0 pairing in one pass
+  {  // init + the level-0 pairing in one pass.  With zone A the edge
+     // sequence groups zone-A positions by (slice, lane) — the dst-side
+     // positional pairing then pairs within those blocks for the first
+     // three levels — followed by the remaining rows in position order.
     const uint64_t ep = (uint64_t)(++epoch) << 32;
     uint64_t* p64 = pend64a.data();
-    for (int64_t i = 0; i < n; i++) {
+    int64_t e = 0;
+    auto emit1 = [&](int64_t i) {
       const int32_t p = perm[i];
       const int32_t u = p >> 10;
-      ua[(size_t)i] = u;
-      ga[(size_t)i] = (int32_t)i;
-      va[(size_t)i] = li_flat ? li_flat[p] : (int16_t)(p & 1023);
+      ua[(size_t)e] = u;
+      ga[(size_t)e] = (int32_t)i;
+      va[(size_t)e] = li_flat ? li_flat[p] : (int16_t)(p & 1023);
       const uint64_t pv = p64[(size_t)u];
       const int32_t o = (int32_t)pv;
       const bool do_pair = (pv & ~0xffffffffull) == ep && o >= 0;
-      const int32_t partner = do_pair ? o : (int32_t)i;
-      ps[(size_t)i].pu = partner;
-      ps[(size_t)partner].pu = (int32_t)i;
+      const int32_t partner = do_pair ? o : (int32_t)e;
+      ps[(size_t)e].pu = partner;
+      ps[(size_t)partner].pu = (int32_t)e;
       p64[(size_t)u] =
-          ep | (uint32_t)(do_pair ? (int32_t)-1 : (int32_t)i);
+          ep | (uint32_t)(do_pair ? (int32_t)-1 : (int32_t)e);
+      e++;
+    };
+    if (nslA) {
+      for (int64_t s = 0; s < nslA; s++)
+        for (int64_t lam = 0; lam < 128; lam++)
+          for (int64_t jr = 0; jr < zw[s]; jr++)
+            for (int64_t sub = 0; sub < 8; sub++)
+              emit1((zr0[s] + jr) * 1024 + sub * 128 + lam);
+      for (int64_t r = 0; r < T; r++) {
+        if (r < zrows && row_slice[r] >= 0) continue;
+        for (int64_t c = 0; c < 1024; c++) emit1(r * 1024 + c);
+      }
+      if (e != n) return fail("route_compile: zone edge count mismatch");
+    } else {
+      for (int64_t i = 0; i < n; i++) emit1(i);
     }
   }
   int32_t* cu = ua.get();
@@ -1746,10 +1786,80 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
   int32_t* ou = ub.get();
   int32_t* og = gb.get();
   int16_t* ov = vb.get();
+  // zone A: compact slot-row index (padding rows excluded) for the
+  // level-3 positional re-scatter
+  std::vector<int32_t> compact_row;
+  int64_t NA = 0;
+  if (nslA) {
+    compact_row.assign((size_t)zrows, -1);
+    for (int64_t r = 0; r < zrows; r++)
+      if (row_slice[r] >= 0) compact_row[(size_t)r] = (int32_t)NA++;
+  }
   int64_t seg = n;
   for (int32_t k = 1024; k >= 2; k >>= 1) {
     double tl = euler_debug() ? now_s() : 0.0;
     const bool last = (k == 2);
+    if (k == 128 && nslA) {
+      // Zone-A re-scatter: assign each (slice, lane, class) block's
+      // zw[s] edges to the block's rows with sublane == class, placing
+      // them in (row, lane) order so levels 4-10 pair positionally;
+      // the other edges append in stable order after the zone-A part.
+      const int64_t NA128 = NA * 128;
+      for (int64_t s0 = 0; s0 < n; s0 += seg) {
+        const int64_t s1 = s0 + seg;
+        const int32_t h = (int32_t)(s0 / seg);
+        int64_t front = s0 + NA128;
+        int32_t cur_key = -1, cnt = 0;
+        for (int64_t ee = s0; ee < s1; ee++) {
+          const int32_t g0 = cg[(size_t)ee];
+          const int64_t r0 = (int64_t)g0 >> 10;
+          int64_t d;
+          int32_t gnew = g0;
+          if (r0 < zrows && row_slice[(size_t)r0] >= 0) {
+            const int32_t sl = row_slice[(size_t)r0];
+            const int32_t lam = g0 & 127;
+            const int32_t key = sl * 128 + lam;
+            if (key != cur_key) {
+              cur_key = key;
+              cnt = 0;
+            }
+            if (__builtin_expect(cnt >= zw[(size_t)sl], 0))
+              return fail("route_compile: zone class overflow");
+            const int64_t rn = zr0[(size_t)sl] + cnt++;
+            gnew = (int32_t)(rn * 1024 + (int64_t)h * 128 + lam);
+            d = s0 + (int64_t)compact_row[(size_t)rn] * 128 + lam;
+          } else {
+            d = front++;
+          }
+          ou[(size_t)d] = cu[(size_t)ee];
+          og[(size_t)d] = gnew;
+          ov[(size_t)d] = cv[(size_t)ee];
+          r2[(size_t)gnew] = g0;
+        }
+        if (front != s1)
+          return fail("route_compile: zone scatter imbalance");
+      }
+      // re-pair every segment on the scattered order
+      for (int64_t s0 = 0; s0 < n; s0 += seg) {
+        const int64_t s1 = s0 + seg;
+        const uint64_t ep = (uint64_t)(++epoch) << 32;
+        uint64_t* p64 = pend64a.data();
+        for (int64_t ee = s0; ee < s1; ee++) {
+          const int32_t u = ou[(size_t)ee];
+          const uint64_t pv = p64[(size_t)u];
+          const int32_t o = (int32_t)pv;
+          const bool do_pair = (pv & ~0xffffffffull) == ep && o >= 0;
+          const int32_t partner = do_pair ? o : (int32_t)ee;
+          ps[(size_t)ee].pu = partner;
+          ps[(size_t)partner].pu = (int32_t)ee;
+          p64[(size_t)u] =
+              ep | (uint32_t)(do_pair ? (int32_t)-1 : (int32_t)ee);
+        }
+      }
+      std::swap(cu, ou);
+      std::swap(cg, og);
+      std::swap(cv, ov);
+    }
     for (int64_t s0 = 0; s0 < n; s0 += seg) {
       const int64_t s1 = s0 + seg;
       chase_leaders(ps.get(), s0, s1, ruler_leader, succ_ruler);
@@ -1830,14 +1940,16 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
     for (int64_t i = 0; i < n; i++) {
       if (i + 16 < n) {
         const int32_t qn = qv[(size_t)(i + 16)] >> 16;
-        const int64_t an = (int64_t)(perm[i + 16] >> 10);
+        const int64_t pn = nslA ? (int64_t)r2[(size_t)(i + 16)] : i + 16;
+        const int64_t an = (int64_t)(perm[pn] >> 10);
         __builtin_prefetch(
             &s1_ss[((int64_t)(qn >> 7) * Tp + an) * 128 + (qn & 127)], 1);
         __builtin_prefetch(&mid[(int64_t)qn * T + ((i + 16) >> 10)], 1);
       }
       const int32_t q = qv[(size_t)i] >> 16;
       const int16_t v = (int16_t)(qv[(size_t)i] & 0xffff);
-      const int64_t a = (int64_t)(perm[i] >> 10);
+      const int64_t a =
+          (int64_t)(perm[nslA ? (int64_t)r2[(size_t)i] : i] >> 10);
       const int64_t d = i >> 10;
       const int64_t o = i & 1023;
       s1_ss[((int64_t)(q >> 7) * Tp + a) * 128 + (q & 127)] = v;
@@ -1852,6 +1964,72 @@ int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
   for (int64_t d = T; d < S_dst; d++)
     for (int64_t o = 0; o < 1024; o++)
       p3_ss[((o >> 7) * S_dst + d) * 128 + (o & 127)] = (int16_t)o;
+  return 0;
+}
+
+int cvr_route_compile(int64_t n, const int32_t* perm, int64_t T, int64_t Tp,
+                      int64_t S_dst, const int16_t* li_flat, int16_t* s1_ss,
+                      int32_t* mid, int16_t* p3_ss) {
+  return route_compile_core(n, perm, T, Tp, S_dst, li_flat, s1_ss, mid,
+                            p3_ss, 0, nullptr, nullptr, 0, nullptr,
+                            nullptr);
+}
+
+int cvr_route_compile_zone(int64_t n, const int32_t* perm, int64_t T,
+                           int64_t Tp, int64_t S_dst,
+                           const int16_t* li_flat, int16_t* s1_ss,
+                           int32_t* mid, int16_t* p3_ss, int64_t nslA,
+                           const int64_t* zr0, const int32_t* zw,
+                           int64_t zrows, const int32_t* row_slice,
+                           int32_t* r2) {
+  return route_compile_core(n, perm, T, Tp, S_dst, li_flat, s1_ss, mid,
+                            p3_ss, nslA, zr0, zw, zrows, row_slice, r2);
+}
+
+// Zone-aware plane refill (v4): scatter the SELL planes (old layout:
+// slice = 1024 segments, segment g at lane g & 1023 of slice g >> 10,
+// element j of the segment at row oldoff[g >> 10] + j) into the routed
+// provisional layout.  Zone A (the first zsl_old OLD slices, i.e. the
+// longest segments): new slice s' = 8 * (g >> 10) + ((g & 1023) >> 7)
+// holds 128 segments at lanes g & 127; element j lands at padded row
+// zr0[s'] + (j >> 3), sublane j & 7.  Elements beyond the segment
+// length (old padding slots) are skipped so the new width can be
+// ceil(max_128_group_len / 8) instead of the old 1024-group max.
+// Zone-B rows copy whole, shifted to rmapB[r].  cols and vals move in
+// one pass; outputs are zero-initialized (padding: col 0 / val 0).
+int cvr_zone_scatter(int64_t S_old, int64_t nsl_old, const int64_t* oldoff,
+                     int64_t zsl_old, const int64_t* zr0,
+                     const int32_t* lane_len, const int64_t* rmapB,
+                     int64_t S_padded, const int32_t* cols,
+                     const float* vals, int32_t* cols_out,
+                     float* vals_out) {
+  std::memset(cols_out, 0, sizeof(int32_t) * (size_t)(S_padded * 1024));
+  std::memset(vals_out, 0, sizeof(float) * (size_t)(S_padded * 1024));
+  const int64_t zrows_old = zsl_old ? oldoff[zsl_old] : 0;
+  int64_t so = 0;
+  for (int64_t r = 0; r < S_old; r++) {
+    const int32_t* cr = cols + r * 1024;
+    const float* vr = vals + r * 1024;
+    if (r < zrows_old) {
+      while (r >= oldoff[so + 1]) so++;
+      const int64_t j = r - oldoff[so];
+      const int64_t jr = j >> 3;
+      const int64_t js = (j & 7) * 128;
+      const int32_t* Lrow = lane_len + so * 1024;
+      for (int64_t c = 0; c < 1024; c++) {
+        if (j >= Lrow[c]) continue;  // old padding slot
+        const int64_t sp = so * 8 + (c >> 7);
+        const int64_t pos = (zr0[sp] + jr) * 1024 + js + (c & 127);
+        cols_out[pos] = cr[c];
+        vals_out[pos] = vr[c];
+      }
+    } else {
+      const int64_t base = rmapB[r] * 1024;
+      std::memcpy(cols_out + base, cr, 1024 * sizeof(int32_t));
+      std::memcpy(vals_out + base, vr, 1024 * sizeof(float));
+    }
+  }
+  (void)nsl_old;
   return 0;
 }
 
@@ -2221,7 +2399,7 @@ int cvr_dia_fill(int64_t nrows, int64_t nnz, const int64_t* rowptr,
   return 0;
 }
 
-int cvr_version() { return 15; }
+int cvr_version() { return 16; }
 
 // ---------------------------------------------------------------------------
 // BELL (banded-ELL) converter passes — single streaming walks over the
