@@ -69,6 +69,8 @@ class BenchResult:
     amortize_iters: float  # preproc_s / spmv_s (CVR: ~2.14, paper Table 1)
     verified: bool | None = None
     max_rel_err: float | None = None
+    nrows: int = 0
+    ncols: int = 0
 
     def print_report(self, threads_label: str = "1chip") -> None:
         # Greppable contract mirroring README.md:47-49.
@@ -396,4 +398,6 @@ def run_spmv_benchmark(
         amortize_iters=preproc / spmv_s if spmv_s > 0 else float("inf"),
         verified=ok,
         max_rel_err=max_rel,
+        nrows=csr.shape[0],
+        ncols=csr.shape[1],
     )

@@ -28,6 +28,8 @@ FIELDS = [
     "amortize_iters",
     "verified",
     "max_rel_err",
+    "nrows",
+    "ncols",
 ]
 
 
