@@ -35,7 +35,10 @@ from jax import shard_map
 
 from cvr_tpu.formats.csr import CSRMatrix
 from cvr_tpu.formats.sell import DEFAULT_C, SellMatrix, sell_pack
-from cvr_tpu.parallel.partition import partition_rows_by_nnz
+from cvr_tpu.parallel.partition import (
+    partition_balance,
+    partition_rows_by_nnz,
+)
 
 AXIS = "shards"
 
@@ -71,6 +74,7 @@ class DistSellMatrix:
     mesh: Mesh
     local_rows_max: int
     nslices_max: int
+    balance: dict | None = None  # partition_balance diagnostics
 
     @property
     def n_shards(self) -> int:
@@ -178,6 +182,7 @@ def dist_sell_pack(
         mesh=mesh,
         local_rows_max=rows_max,
         nslices_max=nsl_max,
+        balance=partition_balance(csr.rowptr, bounds),
     )
 
 

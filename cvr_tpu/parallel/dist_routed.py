@@ -43,7 +43,10 @@ from cvr_tpu.ops.pallas_route import group_emit_encode as _ge
 from cvr_tpu.ops.spmv_routed import SellRoutedDevice, spmv_routed
 from cvr_tpu.ops.pallas_route import RouteDevice, RouteMidDevice
 from cvr_tpu.parallel.dist import AXIS, make_mesh  # noqa: F401
-from cvr_tpu.parallel.partition import partition_rows_by_nnz
+from cvr_tpu.parallel.partition import (
+    partition_balance,
+    partition_rows_by_nnz,
+)
 
 TILE = 1024
 
@@ -62,6 +65,7 @@ class DistRoutedMatrix:
     nnz: int
     mesh: Mesh
     rows_max: int
+    balance: dict | None = None  # partition_balance diagnostics
 
     @property
     def n_shards(self) -> int:
@@ -297,6 +301,7 @@ def _dist_routed_finish(
         nnz=csr.nnz,
         mesh=mesh,
         rows_max=rows_max,
+        balance=partition_balance(csr.rowptr, bounds),
     )
 
 

@@ -36,7 +36,10 @@ from cvr_tpu.formats.sell_window import (
 )
 from cvr_tpu.ops.pallas_window import CH, YB, group_emit_encode, window_reduce
 from cvr_tpu.parallel.dist import AXIS
-from cvr_tpu.parallel.partition import partition_rows_by_nnz
+from cvr_tpu.parallel.partition import (
+    partition_balance,
+    partition_rows_by_nnz,
+)
 
 # cost order mirrors the single-chip packer's estimate ordering
 _CANDIDATES = [(1, 1024), (2, 1024), (4, 1024), (1, 2048), (2, 2048),
@@ -62,6 +65,7 @@ class DistWindowMatrix:
     rows_max: int
     wrl: int
     mesh: Mesh
+    balance: dict | None = None  # partition_balance diagnostics
 
     @property
     def n_shards(self) -> int:
@@ -193,6 +197,7 @@ def dist_window_pack(
         # over shards (each shard's offsets stay within its own class)
         wrl=max(sh.wrl or (sh.W // 128) for sh in shards),
         mesh=mesh,
+        balance=partition_balance(csr.rowptr, bounds),
     )
 
 
