@@ -36,6 +36,10 @@ def main() -> int:
 
     memarena.warm()
 
+    from cvr_tpu.utils.compilecache import enable as _enable_cache
+
+    _enable_cache()
+
     from cvr_tpu.bench.harness import run_spmv_benchmark
     from cvr_tpu.bench.synthetic import rmat_matrix, web_google_like
 

@@ -23,6 +23,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is dominated by XLA CPU
+# compiles of the multi-pass Pallas pipelines (~20-30 s each first call);
+# caching them across test processes/runs cuts full-suite wall clock
+# several-fold on the single-core host.
+from cvr_tpu.utils.compilecache import enable as _enable_cache
+
+_enable_cache()
+
 import numpy as np
 import pytest
 import scipy.sparse as sp
