@@ -33,6 +33,7 @@ import time
 
 _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
+_M_ARENA_MAX = -8
 
 _state: dict = {"thread": None, "bytes": 0, "seconds": 0.0, "enabled": None}
 _lock = threading.Lock()
@@ -48,7 +49,15 @@ def arena_mb_default() -> int:
 
 
 def _warm_block(n: int) -> float:
-    """malloc + memset + free one n-byte block; returns seconds."""
+    """Fault n bytes of the sbrk arena in; returns seconds.
+
+    One malloc(n) would NOT work: any block over M_MMAP_THRESHOLD is
+    mmap'd and munmap'd on free, warming nothing (measured: a 56 MB
+    np.empty+fill still cost 1.46 s cold after a 1.5 GB single-block
+    "warm").  Instead hold several sub-threshold blocks live at once so
+    the heap top extends across the whole arena, memset each, then free
+    them all — with M_TRIM_THRESHOLD raised the pages stay resident.
+    """
     libc = _libc()
     libc.malloc.restype = ctypes.c_void_p
     libc.malloc.argtypes = [ctypes.c_size_t]
@@ -56,11 +65,18 @@ def _warm_block(n: int) -> float:
     libc.memset.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_size_t]
     libc.free.argtypes = [ctypes.c_void_p]
     t0 = time.perf_counter()
-    ptr = libc.malloc(n)
-    if ptr:
-        # memset releases the GIL for the whole sweep; with the trim
-        # threshold raised the freed block stays in the arena, hot.
-        libc.memset(ptr, 0, n)
+    chunk = 256 << 20
+    ptrs = []
+    left = n
+    while left > 0:
+        ptr = libc.malloc(min(chunk, left))
+        if not ptr:
+            break
+        # memset releases the GIL for the whole sweep
+        libc.memset(ptr, 0, min(chunk, left))
+        ptrs.append(ptr)
+        left -= chunk
+    for ptr in ptrs:
         libc.free(ptr)
     return time.perf_counter() - t0
 
@@ -78,8 +94,18 @@ def warm(mb: int | None = None, block: bool = False) -> None:
             if _state["enabled"]:
                 libc = _libc()
                 one_gb = 1 << 30
+                int_max = (1 << 31) - 1
                 libc.mallopt(_M_MMAP_THRESHOLD, one_gb)
-                libc.mallopt(_M_TRIM_THRESHOLD, one_gb)
+                # Trim must exceed the ARENA size, not just be "large":
+                # free() returns the top chunk to the OS whenever it
+                # exceeds the threshold, and a 1 GB threshold un-warmed
+                # the whole 1.5 GB arena on the spot (measured: 56 MB
+                # np fill 1.46 s cold right after a "warmed" arena).
+                libc.mallopt(_M_TRIM_THRESHOLD, int_max)
+                # The warm runs in a background thread; without this,
+                # glibc hands that thread its own (mmap'd) arena and
+                # the main thread's sbrk heap stays cold.
+                libc.mallopt(_M_ARENA_MAX, 1)
                 n = mb * (1 << 20)
                 _state["bytes"] = n
 
