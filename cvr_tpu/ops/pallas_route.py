@@ -1090,6 +1090,11 @@ def _route_small_call(interpret: bool):
                 (8, 256, 128), lambda h: (0, h, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
+            # under vmap (SpMM) the batched blocks push the default
+            # 16M scoped-vmem limit; plenty of headroom on v5e
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(g, s1, mid)
         y = pl.pallas_call(
             _sr2_kernel,
@@ -1111,6 +1116,9 @@ def _route_small_call(interpret: bool):
                 (256, 8, 128), lambda h: (h, 0, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(m, s3)
         return y.reshape(-1)
 
