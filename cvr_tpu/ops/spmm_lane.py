@@ -1,12 +1,15 @@
 """Power-law SpMM with K in lanes: plane-order row gather + slice reduce.
 
 The vmapped routed SpMM re-reads every index plane K times and pays the
-kernel op floor per (element, k) — 26 GFLOPS at K=128 on web-scale
-power-law matrices (docs/DESIGN.md "Power-law SpMM").  The economics
-change when each gathered payload is a whole X ROW of K values: a 512-
-byte row amortizes its HBM transaction, so the 128-lane-window gather
-constraint that forces SpMV through the compiled route does not bind.
-This module drops the route entirely:
+kernel op floor per (element, k) — 10.8 useful GFLOPS at K=128 on
+web-scale power-law matrices with the round-3 kernels (26 with the
+round-2 ones; docs/DESIGN.md "SpMM round 3").  With a whole X ROW of K
+values per gathered element, the 128-lane-window constraint that forces
+SpMV through the compiled route does not bind; the binding constraint
+becomes XLA's row-gather throughput (measured 110 GB/s, order-
+independent), which puts this path at 15.3 useful GFLOPS at K=128 —
+the best measured power-law SpMM — and caps any row-gather formulation
+at ~36.  This module drops the route entirely:
 
   1. ``gx = take(X, cols_plane)`` — ONE XLA row gather straight into
      SELL plane order (the route's whole job for SpMV), fused with the

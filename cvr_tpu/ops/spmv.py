@@ -215,6 +215,11 @@ def spmm(A, X, impl: str = "auto"):
     ``cvr_tpu.bsr_pack``.  SellRouted inputs use K vmapped routed
     pipelines (any structure; also the safe path for web-scale
     matrices: the XLA segment-sum SpMM can crash the TPU worker there).
+    For power-law matrices at K >= 96, pack with ``spmm_lane_pack``
+    instead — the lane path (plane-order row gather, no route) measures
+    15.3 vs 10.8 useful GFLOPS on web-Google-like at K=128; below K~96
+    its KL=128 lane padding dominates and the vmapped path stands
+    (docs/DESIGN.md "SpMM round 3").
     """
     from cvr_tpu.formats.bsr import BsrMatrix
     from cvr_tpu.formats.dia import DiaMatrix
