@@ -185,6 +185,12 @@ def route_post_expand(sd: SellRoutedDevice, g1: jax.Array) -> jax.Array:
                 ofs=r0 // CH,
                 s3fast=(r0 + nr <= sd.zone_rows),
             )
+            # XLA's TpuInstructionFusion crashes (HloReachabilityMap
+            # out-of-range abort in AllowedFusionsWithCustomCallAsProducer)
+            # when it tries to fuse the piece-combining add/update into
+            # these custom-call producers on multi-group packs; the
+            # barrier keeps the combine out of the fusion search.
+            piece = jax.lax.optimization_barrier(piece)
             ys_g = piece if ys_g is None else ys_g + piece
         if ys_g is None:
             ys_g = jnp.zeros((8, nsl, 128), jnp.float32)
@@ -198,6 +204,7 @@ def route_post_expand(sd: SellRoutedDevice, g1: jax.Array) -> jax.Array:
                 ofs=r0 // CH,
                 s3fast=(r0 + nr <= sd.zone_rows),
             )
+            piece = jax.lax.optimization_barrier(piece)  # see above
             ys_g = jax.lax.dynamic_update_slice(ys_g, piece, (0, srel, 0))
         parts.append(ys_g)
     ys = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
