@@ -151,6 +151,24 @@ def bell_gather_mac(
     k, R_sub, _ = li.shape
     if xt.shape[0] != R_sub + TBb * 8:
         raise ValueError("x table must be R_sub + TBb*8 sublanes")
+    if use_interpret():
+        # CPU/interpret: the unrolled kernel body (~k*ncand ops per
+        # tile) compiles for minutes under XLA CPU; the same math is
+        # one flat gather (element at sublane q, plane p reads xt row
+        # 8*(q//8) + d + (li>>7), lane li&127).
+        return _bell_gather_mac_jnp(li, vals, xt, d)
     return _bell_call(k, ncand, d, R_sub, TBb, use_interpret())(
         li, vals, xt
     )
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _bell_gather_mac_jnp(li, vals, xt, d: int):
+    k, R_sub, _ = li.shape
+    idx = li.astype(jnp.int32)
+    lo = jnp.bitwise_and(idx, 127)
+    hi = jax.lax.shift_right_logical(idx, 7)
+    q = jnp.arange(R_sub, dtype=jnp.int32)[None, :, None]
+    xt_row = (q // 8) * 8 + d + hi
+    gath = jnp.take(xt.reshape(-1), xt_row * 128 + lo)
+    return (vals * gath).sum(axis=0)
