@@ -176,6 +176,17 @@ def spmv(A, x, impl: str = "auto"):
         to_device_window,
     )
 
+    from cvr_tpu.formats.bell import BellMatrix
+    from cvr_tpu.ops.spmv_bell import (
+        BellDevice,
+        _jitted_spmv_bell,
+        to_device_bell,
+    )
+
+    if isinstance(A, BellMatrix):
+        A = to_device_bell(A)
+    if isinstance(A, BellDevice):
+        return _jitted_spmv_bell()(A, jnp.asarray(x))
     if isinstance(A, DiaMatrix):
         A = to_device_dia(A)
     if isinstance(A, DiaDevice):
@@ -257,6 +268,17 @@ def spmm(A, X, impl: str = "auto"):
         to_device_window,
     )
 
+    from cvr_tpu.formats.bell import BellMatrix
+    from cvr_tpu.ops.spmv_bell import (
+        BellDevice,
+        _jitted_spmm_bell,
+        to_device_bell,
+    )
+
+    if isinstance(A, BellMatrix):
+        A = to_device_bell(A)
+    if isinstance(A, BellDevice):
+        return _jitted_spmm_bell()(A, jnp.asarray(X))
     if isinstance(A, BsrMatrix):
         A = to_device_bsr(A)
     if isinstance(A, BsrDevice):

@@ -92,3 +92,20 @@ def spmv_bell(sd: BellDevice, x: jax.Array) -> jax.Array:
         yc = spmv_routed(sd.spill, x)
         y = y.at[sd.spill_map].add(yc, mode="drop")
     return y
+
+
+def spmm_bell(sd: BellDevice, X: jax.Array) -> jax.Array:
+    """Y = A @ X for dense X [ncols, K] via K vmapped BELL SpMVs."""
+    return jax.vmap(lambda col: spmv_bell(sd, col), in_axes=1, out_axes=1)(
+        X
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_spmv_bell():
+    return jax.jit(spmv_bell)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_spmm_bell():
+    return jax.jit(spmm_bell)

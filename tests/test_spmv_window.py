@@ -137,12 +137,15 @@ def test_pack_auto_dispatch():
         pack_auto(banded_matrix(n=20000, bandwidth=5, seed=1).to_csr()),
         DiaMatrix,
     )
-    # local but not diagonal (random offsets in a band) -> SELL-W
+    # local but not diagonal (random offsets in a band, within the BELL
+    # reach cap) -> BELL (natural-order planes, no route; rgg-like runs
+    # 78 vs 20 GFLOPS on the round-2 window path, results_r3.csv)
     from cvr_tpu.bench.synthetic import rgg_like
+    from cvr_tpu.formats.bell import BellMatrix
 
     assert isinstance(
         pack_auto(rgg_like(n=20000, reach=48, seed=3).to_csr()),
-        SellWindow,
+        BellMatrix,
     )
     # power-law -> routed
     assert isinstance(
@@ -201,13 +204,19 @@ def test_window_numpy_vs_native_fill():
 
 
 def test_pack_auto_fill_ratio_dispatch():
-    # road-network class: window-feasible but badly padded (slice width =
-    # max row length over natural-order rows with Poisson degrees) —
-    # pack_auto should fall through to the routed format on throughput
-    # grounds, unless the caller raises max_window_fill.
+    # road-network class within BELL's 448-column reach -> BELL (the
+    # round-3 road win: natural-order planes beat both window padding
+    # and the routed op floor at 2.5 nnz/row)
     from cvr_tpu.bench.synthetic import road_usa_like
+    from cvr_tpu.formats.bell import BellMatrix
 
-    csr = road_usa_like(n=1 << 17, deg=2.5, reach=48, seed=3).to_csr()
+    csr48 = road_usa_like(n=1 << 17, deg=2.5, reach=48, seed=3).to_csr()
+    assert isinstance(pack_auto(csr48), BellMatrix)
+    # beyond the BELL reach cap the class is window-feasible but badly
+    # padded (slice width = max row length over natural-order rows with
+    # Poisson degrees) — pack_auto falls through to the routed format on
+    # throughput grounds, unless the caller raises max_window_fill.
+    csr = road_usa_like(n=1 << 17, deg=2.5, reach=600, seed=3).to_csr()
     assert isinstance(pack_auto(csr), SellRouted)
     assert isinstance(
         pack_auto(csr, max_window_fill=float("inf")), SellWindow
