@@ -1810,6 +1810,14 @@ static int route_compile_core(int64_t n, const int32_t* perm, int64_t T,
         const int32_t h = (int32_t)(s0 / seg);
         int64_t front = s0 + NA128;
         int32_t cur_key = -1, cnt = 0;
+        // src pairing fused into the scatter (the chase only needs
+        // SOME same-u involution within the segment — positional
+        // adjacency matters on the dst side only, which the scattered
+        // d order provides); partners are recorded at their d slots as
+        // they appear, saving the separate full re-pair pass (~1
+        // random pend access/edge, measured ~0.9 s at soc scale).
+        const uint64_t ep = (uint64_t)(++epoch) << 32;
+        uint64_t* p64 = pend64a.data();
         for (int64_t ee = s0; ee < s1; ee++) {
           const int32_t g0 = cg[(size_t)ee];
           const int64_t r0 = (int64_t)g0 >> 10;
@@ -1831,30 +1839,22 @@ static int route_compile_core(int64_t n, const int32_t* perm, int64_t T,
           } else {
             d = front++;
           }
-          ou[(size_t)d] = cu[(size_t)ee];
+          const int32_t u = cu[(size_t)ee];
+          ou[(size_t)d] = u;
           og[(size_t)d] = gnew;
           ov[(size_t)d] = cv[(size_t)ee];
           r2[(size_t)gnew] = g0;
-        }
-        if (front != s1)
-          return fail("route_compile: zone scatter imbalance");
-      }
-      // re-pair every segment on the scattered order
-      for (int64_t s0 = 0; s0 < n; s0 += seg) {
-        const int64_t s1 = s0 + seg;
-        const uint64_t ep = (uint64_t)(++epoch) << 32;
-        uint64_t* p64 = pend64a.data();
-        for (int64_t ee = s0; ee < s1; ee++) {
-          const int32_t u = ou[(size_t)ee];
           const uint64_t pv = p64[(size_t)u];
           const int32_t o = (int32_t)pv;
           const bool do_pair = (pv & ~0xffffffffull) == ep && o >= 0;
-          const int32_t partner = do_pair ? o : (int32_t)ee;
-          ps[(size_t)ee].pu = partner;
-          ps[(size_t)partner].pu = (int32_t)ee;
+          const int32_t partner = do_pair ? o : (int32_t)d;
+          ps[(size_t)d].pu = partner;
+          ps[(size_t)partner].pu = (int32_t)d;
           p64[(size_t)u] =
-              ep | (uint32_t)(do_pair ? (int32_t)-1 : (int32_t)ee);
+              ep | (uint32_t)(do_pair ? (int32_t)-1 : (int32_t)d);
         }
+        if (front != s1)
+          return fail("route_compile: zone scatter imbalance");
       }
       std::swap(cu, ou);
       std::swap(cg, og);
