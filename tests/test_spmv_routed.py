@@ -52,6 +52,20 @@ def test_routed_with_splits():
     assert sr.extra_src.shape[0] > 0
 
 
+def test_routed_multi_group(monkeypatch):
+    # nslices > YB exercises the grouped reduce path — per-group pieces,
+    # the optimization-barrier combine (the XLA TpuInstructionFusion
+    # workaround, ops/spmv_routed.py), and the cross-group concatenate —
+    # that full-scale power-law matrices hit on TPU (soc-LJ: 8 groups).
+    # Shrink YB so a CPU-sized matrix spans several groups; both the
+    # pack and the op read YB from pallas_route at call time.
+    import cvr_tpu.ops.pallas_route as pr
+
+    monkeypatch.setattr(pr, "YB", 2)
+    sr = _check(rmat_matrix(scale=12, edge_factor=8, seed=4))
+    assert len(sr.ycall_rows) >= 2
+
+
 def test_routed_empty_rows_and_cols():
     rng = np.random.default_rng(3)
     n = 2500
