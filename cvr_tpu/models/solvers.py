@@ -116,29 +116,39 @@ def bicgstab(
         x, r, p, rho, down, it = state
         v = matvec(p)
         rv = jnp.vdot(r_hat, v)
-        s = r - (rho / rv) * v
+        rv_broke = jnp.abs(rv) < eps
+        alpha = rho / jnp.where(rv_broke, 1.0, rv)
+        s = r - alpha * v
+        x_h = x + alpha * p  # the valid half-step iterate
+        # exact (half-)step convergence is NOT a breakdown: t ~ 0 makes
+        # tt/omega degenerate precisely because s already solved the
+        # system — keep x_h, don't discard it (A = I converges here in
+        # one iteration; the old guard returned x = 0 with res 1.0).
+        half = jnp.linalg.norm(s) / b_norm <= tol
         t = matvec(s)
         tt = jnp.vdot(t, t)
-        omega = jnp.vdot(t, s) / tt
-        # breakdown: any denominator vanishing makes the next iterate
-        # undefined — keep the current one and exit via cond.
-        broke = (
-            (jnp.abs(rv) < eps) | (tt < eps) | (jnp.abs(omega) < eps)
-        )
-        alpha = rho / jnp.where(broke, 1.0, rv)
-        omega = jnp.where(broke, 1.0, omega)
-        x_n = x + alpha * p + omega * s
+        tt_broke = tt < eps
+        omega = jnp.vdot(t, s) / jnp.where(tt_broke, 1.0, tt)
+        om_broke = tt_broke | (jnp.abs(omega) < eps)
+        x_n = x_h + omega * s
         r_n = s - omega * t
         rho_n = jnp.vdot(r_hat, r_n)
-        broke = broke | (jnp.abs(rho_n) < eps)
+        # three outcomes: rv breakdown -> nothing new is defined, keep
+        # the old iterate; half-step valid but t-step degenerate (or
+        # already converged) -> keep (x_h, s); otherwise the full step.
+        use_old = rv_broke
+        use_half = ~rv_broke & (half | om_broke)
+        x_sel = jnp.where(use_old, x, jnp.where(use_half, x_h, x_n))
+        r_sel = jnp.where(use_old, r, jnp.where(use_half, s, r_n))
+        stop = use_old | use_half | (jnp.abs(rho_n) < eps)
         beta = (rho_n / jnp.where(jnp.abs(rho) < eps, 1.0, rho)) * (
-            alpha / omega
+            alpha / jnp.where(om_broke, 1.0, omega)
         )
         p_n = r_n + beta * (p - omega * v)
-        keep = lambda new, old: jnp.where(broke, old, new)
         return (
-            keep(x_n, x), keep(r_n, r), keep(p_n, p), keep(rho_n, rho),
-            broke, it + 1,
+            x_sel, r_sel,
+            jnp.where(stop, p, p_n), jnp.where(stop, rho, rho_n),
+            stop, it + 1,
         )
 
     x, r, p, rho, down, iters = jax.lax.while_loop(
