@@ -238,7 +238,7 @@ class SellRouted:
     # ring-overlap schedule (set by pack_routed(ring=...); see RingSpec)
     seg_ring: np.ndarray | None = None
     ring_cnt: tuple | None = None
-    ring_nsegtab: int = 0
+    ring_nsegtab: tuple = ()  # per ring step: segments the x table spans
     # lambda-segment zone (v4 aligned stage-3; 0 = legacy artifact)
     nslA: int = 0  # zone-A slices (128 segments each, leading)
     zone_rows: int = 0  # padded plane rows covered by zone A
@@ -394,7 +394,7 @@ def _ring_permute(st: RoutedStream, ring: RingSpec):
     """Reorder the stream at tile-block granularity into ring-schedule
     order (step-major, fillers padding each step to the unified count)
     and remap the route permutation accordingly.  Returns
-    (seg_ring, cnt_u, nsegtab) and mutates st's arrays/T in place."""
+    (seg_ring, cnt_u, per-step nsegtab) and mutates st in place."""
     from cvr_tpu.ops.pallas_route import TB
 
     D = ring.D
@@ -421,6 +421,14 @@ def _ring_permute(st: RoutedStream, ring: RingSpec):
     step_of_new = np.repeat(np.arange(D), cnt_u)
     p_of_step = (ring.shard - np.arange(D)) % D
     k_lo = (p_of_step * ring.Wr) // segw8
+    # Step D-1 is the only step whose arrived-piece set wraps the ring
+    # (pieces i, i-1, ..., i+1 — i.e. ALL of them): a block whose
+    # 16-row window straddles a segment boundary can need piece i+1
+    # (unlock D-1) while sitting in a LOWER segment than that piece's.
+    # Every piece has arrived by then, so the table base is 0; for
+    # every earlier step the arrived set ascends from p_of_step and the
+    # base is that piece's segment.
+    k_lo[D - 1] = 0
 
     real = newb >= 0
     nt = (np.flatnonzero(real)[:, None] * TB + np.arange(TB)).ravel()
@@ -444,7 +452,14 @@ def _ring_permute(st: RoutedStream, ring: RingSpec):
     seg_ring = (seg_new - base_seg).astype(np.int32)
     if (seg_ring < 0).any():
         raise AssertionError("block segment below its ring table base")
-    nsegtab = int(seg_ring.max()) + 1 if seg_ring.size else 1
+    # per-step table spans: the last step's base-0 table may reach any
+    # segment, earlier steps stay within the window-straddle span —
+    # sizing the concat per step keeps those steps' tables small
+    nsegtab = np.ones(D, dtype=np.int64)
+    for s in range(D):
+        sl = seg_ring[off_u[s] : off_u[s + 1]]
+        if sl.size:
+            nsegtab[s] = int(sl.max()) + 1
 
     li_new = np.zeros(T_new * TILE, dtype=np.int16)
     li_new.reshape(-1, TILE)[nt] = st.li_flat.reshape(-1, TILE)[ot]
@@ -498,14 +513,17 @@ def pack_routed(
         pt = st.pt
         seg_ring = None
         ring_cnt = None
-        ring_nsegtab = 0
-        if ring is not None:
-            with pt.phase("ring_schedule"):
-                seg_ring, cnt_u, ring_nsegtab = _ring_permute(st, ring)
-                ring_cnt = tuple(int(c) for c in cnt_u)
+        ring_nsegtab: tuple = ()
         if ring is not None and st.zone is not None:
+            # check BEFORE _ring_permute: it mutates the (possibly
+            # caller-owned) stream in place
             raise ValueError("ring scheduling requires a legacy (non-"
                              "zone) stream; pass a force geometry")
+        if ring is not None:
+            with pt.phase("ring_schedule"):
+                seg_ring, cnt_u, nseg_step = _ring_permute(st, ring)
+                ring_cnt = tuple(int(c) for c in cnt_u)
+                ring_nsegtab = tuple(int(v) for v in nseg_step)
         with pt.phase("route_plan"):
             if st.zone is not None:
                 z = st.zone

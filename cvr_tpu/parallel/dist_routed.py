@@ -162,7 +162,11 @@ def dist_routed_pack(
             csr, mesh, bounds, srs,
             ring_meta={
                 "ring_cnt": srs[0].ring_cnt,
-                "ring_nsegtab": max(sr.ring_nsegtab for sr in srs),
+                # per-step elementwise max across shards (one shard_map
+                # program: every shard runs the same table spans)
+                "ring_nsegtab": tuple(
+                    max(t) for t in zip(*[sr.ring_nsegtab for sr in srs])
+                ),
                 "ring_Wr": Wr,
             },
         )
@@ -425,7 +429,7 @@ def _dist_spmv_routed_overlap(
     cnt = m["ring_cnt"]
     off = np.zeros(D + 1, dtype=np.int64)
     np.cumsum(np.asarray(cnt, dtype=np.int64), out=off[1:])
-    nsegtab = max(int(m["ring_nsegtab"]), 1)
+    nsegtab_step = tuple(max(int(v), 1) for v in m["ring_nsegtab"])
     Wr = int(m["ring_Wr"])
     segw8 = int(m["segw"]) * 8
     n_segs = int(m["n_segs"])
@@ -455,13 +459,15 @@ def _dist_spmv_routed_overlap(
                 else cur
             )
             if cnt[s]:
-                k_lo = (p * Wr) // segw8
+                # at the final step every piece has arrived and the
+                # table base drops to 0 (mirrors _ring_permute's k_lo)
+                k_lo = 0 if s == D - 1 else (p * Wr) // segw8
                 tab = jnp.concatenate(
                     [
                         jax.lax.dynamic_slice(
                             xg, ((k_lo + c) * segw8, 0), (segw8 + 8, 128)
                         )
-                        for c in range(nsegtab)
+                        for c in range(nsegtab_step[s])
                     ],
                     axis=0,
                 )

@@ -121,3 +121,40 @@ def test_dist_routed_matches_single_chip():
     for y in (y1, y2):
         ok, nbad, maxrel = verify(y, gold, rtol=1e-6, row_scale=rs)
         assert ok, (nbad, maxrel)
+
+
+def test_ring_unlock_wrap_table_base():
+    """A 16-row window straddling a segment boundary can need the
+    last-arriving piece (i+1, unlock step D-1) while sitting in a LOWER
+    segment than that piece's — the final step's table base must be 0
+    (all pieces have arrived), not the arriving piece's segment, or
+    seg_ring goes negative (the pre-fix AssertionError).  Exercises
+    ring_block_unlock directly on a stub stream with the reported
+    geometry: D=16, Wr=1024, segw8=8192, shard 7, block window rows
+    8184..8199 of segment 0."""
+    import types
+
+    import numpy as np
+
+    from cvr_tpu.formats.sell_routed import RingSpec, ring_block_unlock
+    from cvr_tpu.ops.pallas_route import TB
+
+    D, Wr, shard, segw8 = 16, 1024, 7, 8192
+    nblk = 2
+    st = types.SimpleNamespace(
+        segw=segw8 // 8,
+        seg_blk=np.zeros(nblk, dtype=np.int32),  # both blocks in seg 0
+        w8=np.zeros(nblk * TB, dtype=np.int32),
+        T_src_p=nblk * TB,
+    )
+    # tile 0 of block 0: window base rows 8184..8199 (pieces 7 and 8);
+    # base = seg*segw8 + (w8>>3)*8, so w8>>3 is in 8-row units
+    st.w8[0] = (8184 // 8) << 3
+    ring = RingSpec(D, shard, Wr, tuple([nblk] * D))
+    unlock = ring_block_unlock(st, ring)
+    assert unlock[0] == D - 1  # needs piece (shard+1)%D -> last step
+    # the fixed per-step table base: step D-1 spans from segment 0
+    p_of_step = (shard - np.arange(D)) % D
+    k_lo = (p_of_step * Wr) // segw8
+    k_lo[D - 1] = 0
+    assert (st.seg_blk[0] - k_lo[unlock[0]]) >= 0
