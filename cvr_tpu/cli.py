@@ -421,7 +421,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from cvr_tpu.utils import memarena
 
-    memarena.warm()  # overlap arena faulting with I/O + jax startup
+    # warm only where first-touch is slow (lazily-backed VMs) — an
+    # ordinary host would pay a pointless 1.5 GB memset sweep
+    memarena.warm_if_lazy()
     return args.fn(args)
 
 

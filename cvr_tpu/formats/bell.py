@@ -21,7 +21,12 @@ import time
 import numpy as np
 
 from cvr_tpu.formats.csr import CSRMatrix
-from cvr_tpu.ops.pallas_bell import REACH_CAP, bell_tbb, ncand_of
+from cvr_tpu.ops.pallas_bell import (
+    REACH_CAP,
+    bell_tbb,
+    bell_tbb0,
+    ncand_of,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -106,7 +111,7 @@ def bell_pack(
         )
     cr = -(-reach // 128)
     R_sub0 = -(-max(nrows, 1) // 128)
-    TBb = 64 if k > 8 else 128
+    TBb = bell_tbb0(k)
     R_sub = _round_up(R_sub0, TBb * 8)
 
     if use_native:

@@ -51,9 +51,17 @@ def ncand_of(reach: int) -> int:
     return (128 * cr + 1023 + reach) // 128 + 1
 
 
+def bell_tbb0(k: int) -> int:
+    """Base tiles-per-grid-block: VMEM-bounded by the k li/val planes.
+    bell_pack rounds R_sub to this granularity; bell_tbb then halves
+    only if the caller's R_sub is not a multiple (shared definition so
+    the pack geometry and the kernel block size cannot drift apart)."""
+    return 64 if k > 8 else 128
+
+
 def bell_tbb(k: int, R_sub: int) -> int:
     """Tiles per grid block: VMEM-bounded by the k li/val planes."""
-    TBb = 64 if k > 8 else 128
+    TBb = bell_tbb0(k)
     while R_sub % (TBb * 8):
         TBb //= 2
         if TBb < 8:

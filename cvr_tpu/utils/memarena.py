@@ -121,6 +121,31 @@ def warm(mb: int | None = None, block: bool = False) -> None:
         wait()
 
 
+def lazy_backed(probe_mb: int = 8, min_gbps: float = 1.0) -> bool:
+    """Probe whether this host backs fresh anonymous pages lazily.
+
+    memsets one fresh mmap (NOT the heap — malloc could reuse warm
+    pages) and compares the first-touch rate against min_gbps; the
+    lazily-backed bench VM measures ~0.04 GB/s, bare metal >5 GB/s.
+    """
+    import mmap as _mmap
+
+    n = probe_mb << 20
+    buf = _mmap.mmap(-1, n)
+    t0 = time.perf_counter()
+    buf.write(b"\0" * n)
+    dt = time.perf_counter() - t0
+    buf.close()
+    return n / max(dt, 1e-9) < min_gbps * (1 << 30)
+
+
+def warm_if_lazy() -> None:
+    """warm(), but only on hosts that need it (CLI entry: every other
+    host would pay a pointless 1.5 GB allocation + memset sweep)."""
+    if _state["enabled"] is None and lazy_backed():
+        warm()
+
+
 def wait() -> float:
     """Block until the arena warm (if any) finished; returns its seconds."""
     t = _state["thread"]
