@@ -739,6 +739,50 @@ def pack_routed(
     )
 
 
+def group_padded_rmap(
+    offs,
+    nslices: int,
+    S: int,
+    group_slices: int,
+    row_mult: int,
+    n_groups: int | None = None,
+    rcp_override=None,
+):
+    """Row map for group-tail padding — THE shared definition.
+
+    Slices group `group_slices` per call/block; each group's rows pad
+    to a `row_mult` multiple (or to the explicit per-group
+    rcp_override, already validated >= natural by the caller).  Used by
+    _plan_layout's force branch, the dist precount
+    (parallel/dist_routed.py) and the lane-SpMM plan (ops/spmm_lane.py)
+    — one implementation so the padded-plane geometry cannot drift
+    between the shard precount and the pack it must match.
+
+    Returns (rmap [S] old->padded row, gstart, rc natural rows, rcp
+    padded rows, gshift).
+    """
+    n_g = (
+        max(1, -(-nslices // group_slices))
+        if n_groups is None
+        else n_groups
+    )
+    gstart = offs[np.minimum(np.arange(n_g) * group_slices, nslices)]
+    gend = offs[np.minimum((np.arange(n_g) + 1) * group_slices, nslices)]
+    rc = gend - gstart
+    rcp = (
+        -(-rc // row_mult) * row_mult
+        if rcp_override is None
+        else np.asarray(rcp_override, dtype=np.int64)
+    )
+    gshift = np.zeros(n_g, dtype=np.int64)
+    np.cumsum((rcp - rc)[:-1], out=gshift[1:])
+    grp_of_row = np.searchsorted(gend, np.arange(S), side="right")
+    rmap = np.arange(S, dtype=np.int64) + gshift[
+        np.minimum(grp_of_row, n_g - 1)
+    ]
+    return rmap, gstart, rc, rcp, gshift
+
+
 def _plan_layout(offs, nslices, nslices_u, S, YB, CH, force):
     """Padded plane layout: row map, reduce-call ranges and regular-width
     regions.
@@ -758,21 +802,19 @@ def _plan_layout(offs, nslices, nslices_u, S, YB, CH, force):
     n_ycalls = max(1, -(-nslices_u // YB))
     no_regions = np.zeros((0, 5), dtype=np.int64)
     if force is not None or S == 0:
-        gstart = offs[np.minimum(np.arange(n_ycalls) * YB, nslices)]
-        gend = offs[np.minimum((np.arange(n_ycalls) + 1) * YB, nslices)]
-        rc = gend - gstart
-        rcp = -(-rc // CH) * CH
+        rcp_over = None
         if force is not None and force.rcp is not None:
+            _, _, rc0, rcp0, _ = group_padded_rmap(
+                offs, nslices, 0, YB, CH, n_groups=n_ycalls
+            )
             frcp = np.asarray(force.rcp, dtype=np.int64)
-            if frcp.shape[0] != n_ycalls or (frcp < rcp).any():
+            if frcp.shape[0] != n_ycalls or (frcp < rcp0).any():
                 raise ValueError("force.rcp must cover natural group rows")
-            rcp = frcp
-        gshift = np.zeros(n_ycalls, dtype=np.int64)
-        np.cumsum((rcp - rc)[:-1], out=gshift[1:])
-        grp_of_row = np.searchsorted(gend, np.arange(S), side="right")
-        rmap = np.arange(S, dtype=np.int64) + gshift[
-            np.minimum(grp_of_row, n_ycalls - 1)
-        ]
+            rcp_over = frcp
+        rmap, gstart, rc, rcp, gshift = group_padded_rmap(
+            offs, nslices, S, YB, CH, n_groups=n_ycalls,
+            rcp_override=rcp_over,
+        )
         S_padded = int(rcp.sum()) if S or (force is not None) else 0
         ycall_rows = np.stack([gstart + gshift, rcp], axis=1).astype(
             np.int64

@@ -83,19 +83,15 @@ def lane_plan(sm: SellMatrix) -> LanePlan:
         raise AssertionError("zero-width slices must be trailing")
     nsl = max(nsl, 1)
     # pad each 8-slice group's rows to an RB multiple so one grid step
-    # never emits into two output blocks
-    ngrp = -(-nsl // SB)
-    gend = offs[np.minimum((np.arange(ngrp) + 1) * SB, nsl)]
-    gstart = offs[np.minimum(np.arange(ngrp) * SB, nsl)]
-    rows_g = gend - gstart
-    rows_gp = -(-rows_g // RB) * RB
-    gshift = np.zeros(ngrp, dtype=np.int64)
-    np.cumsum((rows_gp - rows_g)[:-1], out=gshift[1:])
+    # never emits into two output blocks (shared group-pad definition:
+    # formats/sell_routed.py group_padded_rmap)
+    from cvr_tpu.formats.sell_routed import group_padded_rmap
+
     S = int(offs[nsl])
-    grp_of_row = np.searchsorted(gend, np.arange(S), side="right")
-    rmap = np.arange(S, dtype=np.int64) + gshift[
-        np.minimum(grp_of_row, ngrp - 1)
-    ]
+    ngrp = -(-nsl // SB)
+    rmap, gstart, _, rows_gp, gshift = group_padded_rmap(
+        offs, nsl, S, SB, RB, n_groups=ngrp
+    )
     S_lane = int(rows_gp.sum())
     cols_l = np.zeros((S_lane, 1024), dtype=np.int32)
     vals_l = np.zeros((S_lane, 1024), dtype=np.float32)

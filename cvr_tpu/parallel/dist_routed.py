@@ -38,7 +38,11 @@ from jax import shard_map
 
 from cvr_tpu.formats.csr import CSRMatrix
 from cvr_tpu.formats.sell import sell_pack
-from cvr_tpu.formats.sell_routed import RoutedForce, pack_routed
+from cvr_tpu.formats.sell_routed import (
+    RoutedForce,
+    group_padded_rmap,
+    pack_routed,
+)
 from cvr_tpu.ops.pallas_route import group_emit_encode as _ge
 from cvr_tpu.ops.spmv_routed import SellRoutedDevice, spmv_routed
 from cvr_tpu.ops.pallas_route import RouteDevice, RouteMidDevice
@@ -73,12 +77,11 @@ class DistRoutedMatrix:
 
 
 def _natural_rcp(sm, n_ycalls, YB, CH):
-    offs = sm.slice_offsets.astype(np.int64)
-    ns = sm.nslices
-    gstart = offs[np.minimum(np.arange(n_ycalls) * YB, ns)]
-    gend = offs[np.minimum((np.arange(n_ycalls) + 1) * YB, ns)]
-    rc = gend - gstart
-    return -(-rc // CH) * CH
+    _, _, _, rcp, _ = group_padded_rmap(
+        sm.slice_offsets.astype(np.int64), sm.nslices, 0, YB, CH,
+        n_groups=n_ycalls,
+    )
+    return rcp
 
 
 def dist_routed_pack(
@@ -178,16 +181,11 @@ def dist_routed_pack(
         lib = _native.get_lib()
         nsw_total = segw * 8 * n_segs
         for sm in sms:
-            gshift = np.zeros(n_ycalls, dtype=np.int64)
-            offs = sm.slice_offsets.astype(np.int64)
-            ns = sm.nslices
-            gend = offs[np.minimum((np.arange(n_ycalls) + 1) * YB, ns)]
-            rc = gend - offs[np.minimum(np.arange(n_ycalls) * YB, ns)]
-            np.cumsum((rcp_u - rc)[:-1], out=gshift[1:])
-            grp = np.searchsorted(gend, np.arange(sm.n_slots), "right")
-            rmap = np.arange(sm.n_slots, dtype=np.int64) + gshift[
-                np.minimum(grp, n_ycalls - 1)
-            ]
+            rmap, _, _, _, _ = group_padded_rmap(
+                sm.slice_offsets.astype(np.int64), sm.nslices,
+                sm.n_slots, YB, CH, n_groups=n_ycalls,
+                rcp_override=rcp_u,
+            )
             swcnt = np.empty(nsw_total, dtype=np.int64)
             T_src_p = int(
                 lib.cvr_stream_count2(
