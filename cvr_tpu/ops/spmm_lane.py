@@ -284,3 +284,38 @@ def spmm_lane_pack(csr, split_len: int | None = None) -> LanePlan:
     lp = lane_plan(sm)
     lp.convert_time += sm.convert_time
     return lp
+
+
+def save_lane(lp: LanePlan, path) -> None:
+    """Persist the lane plan (the SpMM analogue of save_routed — the
+    pack is cheap but deployment reuse should not re-derive it)."""
+    np.savez_compressed(
+        path,
+        lane_cols=lp.cols_l,
+        lane_vals=lp.vals_l,
+        lane_emit=lp.emit_l,
+        lane_ob=lp.ob,
+        lane_first=lp.first_pos,
+        lane_extra_pos=lp.extra_pos,
+        lane_extra_row=lp.extra_row,
+        lane_meta=np.asarray(
+            [lp.shape[0], lp.shape[1], lp.nnz, lp.nslices], dtype=np.int64
+        ),
+    )
+
+
+def load_lane(path) -> LanePlan:
+    z = np.load(path)
+    m = z["lane_meta"]
+    return LanePlan(
+        cols_l=z["lane_cols"],
+        vals_l=z["lane_vals"],
+        emit_l=z["lane_emit"],
+        ob=z["lane_ob"],
+        first_pos=z["lane_first"],
+        extra_pos=z["lane_extra_pos"],
+        extra_row=z["lane_extra_row"],
+        shape=(int(m[0]), int(m[1])),
+        nnz=int(m[2]),
+        nslices=int(m[3]),
+    )

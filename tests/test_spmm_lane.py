@@ -76,3 +76,27 @@ def test_lane_dispatcher():
     Y = np.asarray(spmm(lp, X))
     gold = _gold(csr, X)
     assert np.abs(Y - gold).max() <= 1e-4 * max(np.abs(gold).max(), 1.0)
+
+
+def test_lane_save_load(tmp_path):
+    from cvr_tpu.ops.spmm_lane import (
+        _jitted_spmm_lane,
+        load_lane,
+        save_lane,
+        spmm_lane_pack,
+        to_device_lane,
+    )
+
+    coo = make_powerlaw_coo(2048, 2048, seed=6)
+    lp = spmm_lane_pack(coo.to_csr())
+    p = tmp_path / "lane.npz"
+    save_lane(lp, p)
+    lp2 = load_lane(p)
+    X = (
+        np.random.default_rng(2)
+        .standard_normal((coo.shape[1], 8))
+        .astype(np.float32)
+    )
+    Y1 = np.asarray(_jitted_spmm_lane()(to_device_lane(lp), X))
+    Y2 = np.asarray(_jitted_spmm_lane()(to_device_lane(lp2), X))
+    np.testing.assert_array_equal(Y1, Y2)
