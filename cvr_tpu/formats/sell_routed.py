@@ -487,7 +487,6 @@ def _ring_permute(st: RoutedStream, ring: RingSpec):
 
 def pack_routed(
     sm: SellMatrix,
-    ch: int = 128,
     force: RoutedForce | None = None,
     ring: RingSpec | None = None,
     stream: RoutedStream | None = None,
@@ -553,11 +552,11 @@ def pack_routed(
 
     if _nat.available() and hasattr(_nat, "stream_build2_native"):
         return pack_routed(
-            sm, ch, force, stream=routed_stream_phase(sm, force)
+            sm, force, stream=routed_stream_phase(sm, force)
         )
 
     pt = PhaseTimer()
-    from cvr_tpu.ops.pallas_route import CH, YB, SEGW, TB, middle_planes_from
+    from cvr_tpu.ops.pallas_route import CH, YB
 
     S = sm.n_slots
     nrows, ncols = sm.shape
@@ -636,9 +635,7 @@ def pack_routed(
         n_segs = -(-nwin_total // segw)
         seg_of_tile = (win_of_tile // segw).astype(np.int64)
         seg_counts = np.bincount(seg_of_tile, minlength=n_segs)
-        seg_padded = _round_up(seg_counts, TB) if False else (
-            -(-seg_counts // TB) * TB
-        )
+        seg_padded = -(-seg_counts // TB) * TB
         seg_new_start = np.zeros(n_segs, dtype=np.int64)
         np.cumsum(seg_padded[:-1], out=seg_new_start[1:])
         seg_old_start = np.zeros(n_segs, dtype=np.int64)
@@ -1048,6 +1045,18 @@ def save_routed(sr: SellRouted, path) -> None:
         ymid_Tk=np.int64(ymid["Tk"]),
         y_T=np.int64(sr.y_ra["T"]), y_Tp=np.int64(sr.y_ra["Tp"]),
         y_n=np.int64(sr.y_ra["n"]),
+        # ring-overlap schedule: the stream arrays above are PERMUTED
+        # into ring order for such artifacts — dropping these fields
+        # would round-trip a ring artifact into a corrupted one
+        ring_seg=(
+            sr.seg_ring
+            if sr.seg_ring is not None
+            else np.zeros(0, dtype=np.int32)
+        ),
+        ring_cnt=np.asarray(
+            sr.ring_cnt if sr.ring_cnt is not None else (), dtype=np.int64
+        ),
+        ring_nsegtab=np.asarray(sr.ring_nsegtab, dtype=np.int64),
         **mid_arrays, **y_arrays, **ymid_arrays,
     )
 
@@ -1092,4 +1101,19 @@ def load_routed(path) -> SellRouted:
         nslA=int(z["nslA"]) if "nslA" in z else 0,
         zone_rows=int(z["zone_rows"]) if "zone_rows" in z else 0,
         yslices=int(z["yslices"]) if "yslices" in z else int(z["nslices"]),
+        seg_ring=(
+            z["ring_seg"]
+            if "ring_seg" in z and z["ring_seg"].size
+            else None
+        ),
+        ring_cnt=(
+            tuple(int(c) for c in z["ring_cnt"])
+            if "ring_cnt" in z and z["ring_cnt"].size
+            else None
+        ),
+        ring_nsegtab=(
+            tuple(int(v) for v in z["ring_nsegtab"])
+            if "ring_nsegtab" in z
+            else ()
+        ),
     )

@@ -127,6 +127,19 @@ def read_matrix_market(
     # 1-based -> 0-based (the reference skips this, spmv.cpp:436-438; we fix).
     rows = data[:, 0].astype(index_dtype) - 1
     cols = data[:, 1].astype(index_dtype) - 1
+    # Range-validate against the header: out-of-range indices from an
+    # untrusted file must die here, not as out-of-bounds writes in the
+    # native pack passes (the native parser applies the same gate).
+    if data.size and (
+        rows.min() < 0
+        or cols.min() < 0
+        or rows.max() >= nrows
+        or cols.max() >= ncols
+    ):
+        raise MatrixMarketError(
+            "entry index out of the header's range "
+            f"(nrows={nrows}, ncols={ncols})"
+        )
     if field == "pattern":
         if pattern_values == "mod13":
             # Deterministic values, reference convention spmv.cpp:413-422.

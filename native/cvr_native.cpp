@@ -110,6 +110,13 @@ int cvr_mtx_open(const char* path, int64_t* nrows, int64_t* ncols,
   }
 
   // Parse banner: %%MatrixMarket matrix coordinate <field> <symmetry>
+  // Every post-mmap failure must release the fd and the whole-file
+  // mapping (a sweep over many bad files would otherwise exhaust fds).
+  auto fail_open = [&](const char* msg) {
+    munmap((void*)data, size);
+    ::close(fd);
+    return fail(msg);
+  };
   size_t pos = 0;
   auto read_line = [&](std::string& out) -> bool {
     if (pos >= size) return false;
@@ -120,7 +127,7 @@ int cvr_mtx_open(const char* path, int64_t* nrows, int64_t* ncols,
     return true;
   };
   std::string line;
-  if (!read_line(line)) return fail("empty file");
+  if (!read_line(line)) return fail_open("empty file");
   {
     std::vector<std::string> tok;
     size_t i = 0;
@@ -132,21 +139,21 @@ int cvr_mtx_open(const char* path, int64_t* nrows, int64_t* ncols,
       i = j;
     }
     if (tok.size() != 5 || tok[0] != "%%MatrixMarket")
-      return fail("bad MatrixMarket banner");
-    if (!ci_equal(tok[1], "matrix")) return fail("unsupported object");
+      return fail_open("bad MatrixMarket banner");
+    if (!ci_equal(tok[1], "matrix")) return fail_open("unsupported object");
     if (!ci_equal(tok[2], "coordinate"))
-      return fail("native parser handles coordinate format only");
+      return fail_open("native parser handles coordinate format only");
     MtxFile f;
     if (ci_equal(tok[3], "real")) f.field = CVR_FIELD_REAL;
     else if (ci_equal(tok[3], "integer")) f.field = CVR_FIELD_INTEGER;
     else if (ci_equal(tok[3], "pattern")) f.field = CVR_FIELD_PATTERN;
     else if (ci_equal(tok[3], "complex")) f.field = CVR_FIELD_COMPLEX;
-    else return fail("unsupported field");
+    else return fail_open("unsupported field");
     if (ci_equal(tok[4], "general")) f.symmetry = CVR_SYM_GENERAL;
     else if (ci_equal(tok[4], "symmetric")) f.symmetry = CVR_SYM_SYMMETRIC;
     else if (ci_equal(tok[4], "skew-symmetric")) f.symmetry = CVR_SYM_SKEW;
     else if (ci_equal(tok[4], "hermitian")) f.symmetry = CVR_SYM_HERMITIAN;
-    else return fail("unsupported symmetry");
+    else return fail_open("unsupported symmetry");
 
     // Skip comments/blank lines to the size line.
     while (read_line(line)) {
@@ -165,14 +172,24 @@ int cvr_mtx_open(const char* path, int64_t* nrows, int64_t* ncols,
     auto r2 = std::from_chars(p, e, f.ncols); p = r2.ptr; skip_ws();
     auto r3 = std::from_chars(p, e, f.nnz);
     if (r1.ec != std::errc() || r2.ec != std::errc() || r3.ec != std::errc())
-      return fail("bad size line");
+      return fail_open("bad size line");
 
     f.fd = fd;
     f.data = data;
     f.size = size;
     f.body_off = pos;
-    int id = g_nfiles.fetch_add(1);
-    if (id >= 64) return fail("too many open mtx files");
+    // reuse closed slots so long sweeps never exhaust the table
+    int id = -1;
+    int n = g_nfiles.load();
+    for (int k = 0; k < n; k++)
+      if (g_files[k].data == nullptr && g_files[k].fd < 0) { id = k; break; }
+    if (id < 0) {
+      id = g_nfiles.fetch_add(1);
+      if (id >= 64) {
+        g_nfiles.fetch_sub(1);
+        return fail_open("too many open mtx files");
+      }
+    }
     g_files[id] = f;
     *nrows = f.nrows;
     *ncols = f.ncols;
@@ -248,18 +265,32 @@ int cvr_mtx_read(int handle, int32_t* rows, int32_t* cols, float* vals,
         while (s < lineend && std::isspace((unsigned char)*s)) s++;
         auto rc = std::from_chars(s, lineend, c);
         s = rc.ptr;
-        if (rr.ec != std::errc() || rc.ec != std::errc()) {
+        if (rr.ec != std::errc() || rc.ec != std::errc() ||
+            r < 1 || c < 1 || r > f.nrows || c > f.ncols) {
+          // range-validate HERE — indices flow unchecked into the
+          // pack passes' histogram/flag writes, so an out-of-range
+          // entry in an untrusted file must die as a parse error,
+          // not as a heap write
           err.store(1);
         } else {
           rows[idx] = (int32_t)(r - 1);
           cols[idx] = (int32_t)(c - 1);
           if (has_val) {
             while (s < lineend && std::isspace((unsigned char)*s)) s++;
+            if (s < lineend && *s == '+') s++;  // from_chars rejects '+'
             float v = 0.f;
             auto rv = std::from_chars(s, lineend, v);
             if (rv.ec != std::errc()) {
-              // fall back for "1e3."-style oddities
-              v = strtof(s, nullptr);
+              // fall back for "1e3."-style oddities; copy to a bounded
+              // NUL-terminated buffer — strtof on the raw mmap could
+              // scan past the mapping when the file lacks a trailing
+              // newline at a page boundary
+              char buf[64];
+              size_t bl = std::min(
+                  (size_t)(lineend - s), sizeof(buf) - 1);
+              std::memcpy(buf, s, bl);
+              buf[bl] = 0;
+              v = strtof(buf, nullptr);
             }
             vals[idx] = v;
           } else {
@@ -297,6 +328,10 @@ int cvr_coo_to_csr(int64_t nrows, int64_t nnz, const int32_t* rows,
   for (int64_t i = 0; i < nnz; i++) {
     int32_t r = rows[i];
     if (r < 0 || r >= nrows) return fail("row index out of range");
+    // negative cols would index before downstream histogram buffers
+    // (the upper bound is checked against ncols by the parser / the
+    // Python container; a negative here is always caller error)
+    if (cols[i] < 0) return fail("column index out of range");
     count[r + 1]++;
   }
   for (int64_t r = 0; r < nrows; r++) count[r + 1] += count[r];
@@ -2065,7 +2100,10 @@ static int bvn_color_row(int64_t T, int64_t tk, const int32_t* mrow,
                          int32_t* crow, std::vector<int32_t>& cap,
                          std::vector<int64_t>& off,
                          std::vector<int32_t>& cur,
-                         std::vector<int32_t>& colors_of_pair) {
+                         std::vector<int32_t>& colors_of_pair,
+                         std::vector<int32_t>& match_u,
+                         std::vector<int32_t>& match_v,
+                         std::vector<uint8_t>& vis) {
   const int64_t np = tk * tk;
   std::fill(cap.begin(), cap.end(), 0);
   for (int64_t d = 0; d < T; d++)
@@ -2076,8 +2114,9 @@ static int bvn_color_row(int64_t T, int64_t tk, const int32_t* mrow,
   colors_of_pair.resize((size_t)off[(size_t)np]);
   std::fill(cur.begin(), cur.end(), 0);
 
-  std::vector<int32_t> match_u((size_t)tk, -1), match_v((size_t)tk, -1);
-  std::vector<uint8_t> vis((size_t)tk);
+  match_u.assign((size_t)tk, -1);
+  match_v.assign((size_t)tk, -1);
+  vis.assign((size_t)tk, 0);
   // Kuhn augment for one left vertex over entries with cap > 0
   std::function<bool(int32_t)> tryk = [&](int32_t u) -> bool {
     for (int32_t v = 0; v < (int32_t)tk; v++) {
@@ -2173,10 +2212,11 @@ int cvr_color_rows_cap(int64_t T, int64_t tk, const int32_t* mid,
     // BvN wins while #entries (<= tk^2) x augment cost stays small
     std::vector<int32_t> cap((size_t)np), cur((size_t)np);
     std::vector<int64_t> off((size_t)np + 1);
-    std::vector<int32_t> colors_of_pair;
+    std::vector<int32_t> colors_of_pair, match_u, match_v;
+    std::vector<uint8_t> vis;
     for (int64_t q = 0; q < 1024; q++) {
       if (bvn_color_row(T, tk, mid + q * T, color_out + q * T, cap, off,
-                        cur, colors_of_pair) != 0)
+                        cur, colors_of_pair, match_u, match_v, vis) != 0)
         return -1;
     }
     return 0;

@@ -128,3 +128,21 @@ def test_write_read_roundtrip(tmp_path, random_coo):
     np.testing.assert_allclose(
         back.to_dense(), random_coo.to_dense(), rtol=1e-6
     )
+
+
+def test_out_of_range_indices_rejected(tmp_path):
+    """Out-of-range entries in an untrusted file must die as a parse
+    error in BOTH parsers — unchecked they flow into the native pack
+    passes' histogram writes (heap corruption class)."""
+    import pytest
+
+    from cvr_tpu.io.mmio import MatrixMarketError, read_matrix_market
+
+    for body in ("2 0 2.0", "2 9 2.0", "0 1 2.0", "9 1 2.0"):
+        p = tmp_path / "bad.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix coordinate real general\n"
+            f"3 3 2\n1 1 1.0\n{body}\n"
+        )
+        with pytest.raises(MatrixMarketError):
+            read_matrix_market(p)
