@@ -245,8 +245,10 @@ def _spmm(args, coo) -> int:
         pass
     elif args.format == "auto":
         from cvr_tpu.formats import pack_auto
+        from cvr_tpu.formats.bell import BellMatrix
         from cvr_tpu.formats.dia import DiaMatrix
         from cvr_tpu.formats.sell_routed import SellRouted
+        from cvr_tpu.ops.spmv_bell import spmm_bell, to_device_bell
         from cvr_tpu.ops.spmv_dia import spmm_dia, to_device_dia
         from cvr_tpu.ops.spmv_routed import spmm_routed, to_device_routed
         from cvr_tpu.ops.spmv_window import spmm_window, to_device_window
@@ -255,12 +257,43 @@ def _spmm(args, coo) -> int:
         if isinstance(packed, DiaMatrix):
             sd = to_device_dia(packed)
             kernel = spmm_dia
+        elif isinstance(packed, BellMatrix):
+            sd = to_device_bell(packed)
+            kernel = spmm_bell
         elif isinstance(packed, SellRouted):
-            sd = to_device_routed(packed)
-            kernel = spmm_routed
+            if args.rhs >= 96:
+                # power-law SpMM at wide K: the lane path beats the
+                # vmapped route (15.3 vs 10.8 GFLOPS at K=128 on
+                # web-scale; docs/DESIGN.md "SpMM round 3")
+                from cvr_tpu.ops.spmm_lane import (
+                    spmm_lane,
+                    spmm_lane_pack,
+                    to_device_lane,
+                )
+
+                sd = to_device_lane(spmm_lane_pack(csr))
+                kernel = spmm_lane
+            else:
+                sd = to_device_routed(packed)
+                kernel = spmm_routed
         else:
             sd = to_device_window(packed)
             kernel = spmm_window
+    elif args.format == "lane":
+        from cvr_tpu.ops.spmm_lane import (
+            spmm_lane,
+            spmm_lane_pack,
+            to_device_lane,
+        )
+
+        sd = to_device_lane(spmm_lane_pack(csr))
+        kernel = spmm_lane
+    elif args.format == "bell":
+        from cvr_tpu.formats.bell import bell_pack
+        from cvr_tpu.ops.spmv_bell import spmm_bell, to_device_bell
+
+        sd = to_device_bell(bell_pack(csr))
+        kernel = spmm_bell
     elif args.format in ("routed", "sell-routed"):
         from cvr_tpu.formats.sell_routed import sell_pack_routed
         from cvr_tpu.ops.spmv_routed import spmm_routed, to_device_routed
@@ -317,7 +350,8 @@ def cmd_compare(args) -> int:
     if args.rhs > 1:
         import argparse as _ap
 
-        for fmt in ("bsr", "dia", "routed", "window", "sell"):
+        for fmt in ("bsr", "dia", "bell", "lane", "routed", "window",
+                    "sell"):
             sub = _ap.Namespace(**{**vars(args), "format": fmt})
             try:
                 _spmm(sub, coo)
@@ -388,8 +422,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--format",
         default="auto",
         choices=[
-            "auto", "bell", "bsr", "dia", "routed", "sell-routed", "window",
-            "sell-window", "sell", "csr",
+            "auto", "bell", "bsr", "dia", "lane", "routed", "sell-routed",
+            "window", "sell-window", "sell", "csr",
         ],
     )
     p.add_argument("--rhs", type=int, default=1, help="K for SpMM")
