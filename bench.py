@@ -27,6 +27,13 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true", help="small matrix")
     ap.add_argument("--impl", default="sell-routed")
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument(
+        "--pack-repeats",
+        type=int,
+        default=2,
+        help="pack timing = min over N repeats (first-run also reported; "
+        "this host's single-core timing varies ±40% run to run)",
+    )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -52,7 +59,13 @@ def main() -> int:
         name = "web-Google-like"
         iters = args.iters or 100
 
-    r = run_spmv_benchmark(coo, name=name, impl=args.impl, iters=iters)
+    r = run_spmv_benchmark(
+        coo,
+        name=name,
+        impl=args.impl,
+        iters=iters,
+        pack_repeats=args.pack_repeats,
+    )
     if not args.json_only:
         r.print_report()
         print(r.to_json(), file=sys.stderr)

@@ -71,12 +71,22 @@ class BenchResult:
     max_rel_err: float | None = None
     nrows: int = 0
     ncols: int = 0
+    # First-run pack time when pack_repeats > 1 (preproc_s is then the
+    # min over repeats — the algorithm's time; the first run additionally
+    # pays this host's one-time page-backing and ±40% timing variance,
+    # see docs/DESIGN.md "converter at scale").
+    preproc_first_s: float | None = None
 
     def print_report(self, threads_label: str = "1chip") -> None:
         # Greppable contract mirroring README.md:47-49.
+        first = (
+            f" (min over repeats; first run {self.preproc_first_s * 1e3:.3f} ms)"
+            if self.preproc_first_s is not None
+            else ""
+        )
         print(
             f"[file: {self.name}] [threads: {threads_label}] "
-            f"Pre-processing Time: {self.preproc_s * 1e3:.3f} ms"
+            f"Pre-processing Time: {self.preproc_s * 1e3:.3f} ms{first}"
         )
         print(
             f"[file: {self.name}] [threads: {threads_label}] "
@@ -215,6 +225,27 @@ def time_fn_iterated(
     return max(t2 - t1, 1e-12) / (L2 - L1)
 
 
+def _timed_pack(fn, repeats: int = 1):
+    """Run the pack ``repeats`` times; return (result, min_s, first_s).
+
+    One pack on this host mixes the algorithm with the hypervisor's
+    lazy page backing and a ±40% single-core timing variance (measured,
+    docs/DESIGN.md "converter at scale"); min-over-repeats is the
+    algorithm's time.  Both numbers are reported so neither hides.
+    """
+    best = float("inf")
+    first = None
+    out = None
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        if first is None:
+            first = dt
+        best = min(best, dt)
+    return out, best, first
+
+
 def run_spmv_benchmark(
     coo,
     name: str = "matrix",
@@ -225,6 +256,7 @@ def run_spmv_benchmark(
     verify_result: bool = True,
     chip: str | None = None,
     x: np.ndarray | None = None,
+    pack_repeats: int = 1,
 ) -> BenchResult:
     """End-to-end: convert (timed) -> SpMV iterations (timed) -> verify.
 
@@ -265,9 +297,9 @@ def run_spmv_benchmark(
         from cvr_tpu.formats.bell import bell_pack
         from cvr_tpu.ops.spmv_bell import spmv_bell, to_device_bell
 
-        t0 = time.perf_counter()
-        bm = bell_pack(csr)
-        preproc = time.perf_counter() - t0
+        bm, preproc, preproc_first = _timed_pack(
+            lambda: bell_pack(csr), pack_repeats
+        )
         padded = bm.k * bm.R_sub * 128 + (
             bm.spill.T * 1024 if bm.spill is not None else 0
         )
@@ -280,9 +312,9 @@ def run_spmv_benchmark(
         from cvr_tpu.formats.dia import dia_pack
         from cvr_tpu.ops.spmv_dia import spmv_dia, to_device_dia
 
-        t0 = time.perf_counter()
-        dmx = dia_pack(csr)
-        preproc = time.perf_counter() - t0
+        dmx, preproc, preproc_first = _timed_pack(
+            lambda: dia_pack(csr), pack_repeats
+        )
         padded = dmx.padded_nnz
         sd = to_device_dia(dmx)
         xd = jnp.asarray(x)
@@ -293,9 +325,9 @@ def run_spmv_benchmark(
         from cvr_tpu.formats.sell_window import sell_pack_window
         from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
 
-        t0 = time.perf_counter()
-        sw = sell_pack_window(csr)
-        preproc = time.perf_counter() - t0
+        sw, preproc, preproc_first = _timed_pack(
+            lambda: sell_pack_window(csr), pack_repeats
+        )
         padded = sw.padded_nnz
         sd = to_device_window(sw)
         xd = jnp.asarray(x)
@@ -312,9 +344,9 @@ def run_spmv_benchmark(
         from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
         from cvr_tpu.ops.spmv_window import spmv_window, to_device_window
 
-        t0 = time.perf_counter()
-        packed = pack_auto(csr)
-        preproc = time.perf_counter() - t0
+        packed, preproc, preproc_first = _timed_pack(
+            lambda: pack_auto(csr), pack_repeats
+        )
         padded = packed.padded_nnz if hasattr(packed, "padded_nnz") else (
             packed.T * 1024
             if not isinstance(packed, BellMatrix)
@@ -339,9 +371,9 @@ def run_spmv_benchmark(
         from cvr_tpu.formats.sell_routed import sell_pack_routed
         from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
 
-        t0 = time.perf_counter()
-        sr = sell_pack_routed(csr)
-        preproc = time.perf_counter() - t0
+        sr, preproc, preproc_first = _timed_pack(
+            lambda: sell_pack_routed(csr), pack_repeats
+        )
         padded = sr.T * 1024
         sd = to_device_routed(sr)
         xd = jnp.asarray(x)
@@ -349,9 +381,10 @@ def run_spmv_benchmark(
         spmv_s = time_fn_iterated(kernel, sd, xd, iters=iters, scale=pi_scale, out_n=csr.shape[0])
         y = np.asarray(jax.jit(kernel)(sd, xd))
     elif impl.startswith("sell"):
-        t0 = time.perf_counter()
-        sm = sell_pack(csr, C=C or DEFAULT_C, sigma=sigma)
-        preproc = time.perf_counter() - t0
+        sm, preproc, preproc_first = _timed_pack(
+            lambda: sell_pack(csr, C=C or DEFAULT_C, sigma=sigma),
+            pack_repeats,
+        )
         padded = sm.padded_nnz
         sd = to_device(sm)
         xd = jnp.asarray(x)
@@ -359,6 +392,7 @@ def run_spmv_benchmark(
         spmv_s = time_fn_iterated(kernel, sd, xd, iters=iters, scale=pi_scale, out_n=csr.shape[0])
         y = np.asarray(jax.jit(kernel)(sd, xd))
     elif impl == "csr":
+        preproc_first = None
         t0 = time.perf_counter()
         rowptr = jnp.asarray(csr.rowptr)
         colsd = jnp.asarray(csr.cols)
@@ -400,4 +434,5 @@ def run_spmv_benchmark(
         max_rel_err=max_rel,
         nrows=csr.shape[0],
         ncols=csr.shape[1],
+        preproc_first_s=preproc_first if pack_repeats > 1 else None,
     )

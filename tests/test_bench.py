@@ -41,6 +41,22 @@ class TestHarness:
         assert r.nnz == coo.nnz
         assert 2 * r.gnnz_per_s == pytest.approx(r.gflops_2nnz)
 
+    def test_pack_repeats_reports_first_run(self):
+        # pack_repeats > 1: preproc_s is the min over repeats (the
+        # algorithm's time on a host with ±40% single-core timing
+        # variance); the first run is kept alongside so neither hides.
+        coo = rmat_matrix(scale=9, edge_factor=6, seed=2, cache=False)
+        r = run_spmv_benchmark(
+            coo, name="t", impl="sell-xla", iters=3, chip="cpu",
+            pack_repeats=2,
+        )
+        assert r.preproc_first_s is not None
+        assert r.preproc_first_s >= r.preproc_s
+        r1 = run_spmv_benchmark(
+            coo, name="t", impl="sell-xla", iters=3, chip="cpu"
+        )
+        assert r1.preproc_first_s is None
+
     def test_rejects_rectangular(self):
         from cvr_tpu.formats.coo import COOMatrix
 
