@@ -88,6 +88,13 @@ def main() -> int:
     ap.add_argument(
         "--full", action="store_true", help="full-scale CGO'18 suite"
     )
+    ap.add_argument(
+        "--pack-repeats",
+        type=int,
+        default=1,
+        help="pack timing = min over N in-process repeats "
+        "(first run also recorded; see bench harness)",
+    )
     args = ap.parse_args()
 
     from cvr_tpu.utils import memarena
@@ -111,7 +118,11 @@ def main() -> int:
         for impl in args.impls.split(","):
             try:
                 r = run_spmv_benchmark(
-                    coo, name=name, impl=impl, iters=args.iters
+                    coo,
+                    name=name,
+                    impl=impl,
+                    iters=args.iters,
+                    pack_repeats=args.pack_repeats,
                 )
             except Exception as e:  # noqa: BLE001 — finish the sweep
                 print(f"[{name}/{impl}] FAILED: {type(e).__name__}: {e}")
