@@ -30,9 +30,12 @@ def main() -> int:
     ap.add_argument(
         "--pack-repeats",
         type=int,
-        default=2,
-        help="pack timing = min over N repeats (first-run also reported; "
-        "this host's single-core timing varies ±40% run to run)",
+        default=1,
+        help="pack timing = min over N repeats (first run also reported "
+        "when N > 1).  Default 1 = one COLD pack, matching the reference "
+        "protocol (spmv.cpp:575,1009 times a single conversion) so the "
+        "amortize metric stays comparable to the paper's cold-pack 2.14; "
+        "opt into min-over-N on this ±40%-variance single-core host.",
     )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()

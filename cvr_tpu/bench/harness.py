@@ -237,6 +237,9 @@ def _timed_pack(fn, repeats: int = 1):
     first = None
     out = None
     for _ in range(max(1, repeats)):
+        # Drop the previous repeat's result before packing again — holding
+        # both roughly doubles peak host memory on --full-scale matrices.
+        out = None
         t0 = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t0
