@@ -243,9 +243,14 @@ class SellRouted:
     nslA: int = 0  # zone-A slices (128 segments each, leading)
     zone_rows: int = 0  # padded plane rows covered by zone A
     yslices: int = 0  # y-stream tiles (nslA//8 + zone-B slices)
+    # hub-column hybrid: captured hot-column planes (formats/hot.py);
+    # None = pure routed artifact
+    hot: object | None = None
 
 
-def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
+def sell_pack_routed(
+    csr, split_len: int | None = None, hot: str = "auto"
+) -> SellRouted:
     """CSR -> SELL-R in one step (the routed path's converter entry).
 
     split_len default: ``max(1024, 16 * mean_row_len)`` — much larger than
@@ -253,8 +258,36 @@ def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
     grades slice widths, so padding from long rows is small, and (b) every
     extra segment costs a scalar-rate scatter-add in the y-combine; only
     extreme hub rows (social-graph celebrities) are worth splitting.
+
+    ``hot``: "auto" enables the hub-column hybrid when the pack-time cost
+    model predicts a net win (cvr_tpu/formats/hot.py; override with
+    CVR_HOT=0/1), "off" disables it.
     """
+    import os as _os
+
     from cvr_tpu.formats.sell import sell_pack
+
+    hot_env = _os.environ.get("CVR_HOT", "")
+    use_hot = hot == "auto" and hot_env != "0"
+    hotinfo = None
+    pt_hot = PhaseTimer()
+    if use_hot:
+        from cvr_tpu.formats.hot import capture_split, plan_hot
+
+        with pt_hot.phase("hot_plan"):
+            # CVR_HOT=1 forces the hybrid on (testing / measurement)
+            # regardless of the cost model's verdict; CVR_HOT_NH pins
+            # the hot-set size
+            nh_env = _os.environ.get("CVR_HOT_NH", "")
+            if nh_env:
+                plan = (int(nh_env), 0.0)
+            elif hot_env == "1":
+                plan = plan_hot(csr, min_net=float("-inf"))
+            else:
+                plan = plan_hot(csr)
+        if plan is not None:
+            with pt_hot.phase("hot_capture"):
+                csr, hotinfo = capture_split(csr, plan[0], plan[1])
 
     if split_len is None:
         mean_len = -(-max(csr.nnz, 1) // max(csr.shape[0], 1))
@@ -274,8 +307,20 @@ def sell_pack_routed(csr, split_len: int | None = None) -> SellRouted:
                 break
     sm = sell_pack(csr, C=TILE, split_len=split_len)
     sr = pack_routed(sm)
-    sr.convert_time += sm.convert_time
-    sr.convert_phases = {**(sm.convert_phases or {}), **sr.convert_phases}
+    if hotinfo is not None:
+        from cvr_tpu.formats.hot import build_hot_planes
+        from cvr_tpu.ops.pallas_route import CH, YB
+
+        with pt_hot.phase("hot_planes"):
+            sr.hot = build_hot_planes(sm, hotinfo, YB, CH)
+        # the artifact represents the FULL matrix (rest + captured)
+        sr.nnz += int(hotinfo.hot_ptr[-1])
+    sr.convert_time += sm.convert_time + pt_hot.total
+    sr.convert_phases = {
+        **(sm.convert_phases or {}),
+        **sr.convert_phases,
+        **dict(pt_hot.phases),
+    }
     return sr
 
 
@@ -780,7 +825,9 @@ def group_padded_rmap(
     return rmap, gstart, rc, rcp, gshift
 
 
-def _plan_layout(offs, nslices, nslices_u, S, YB, CH, force):
+def _plan_layout(
+    offs, nslices, nslices_u, S, YB, CH, force, region_widths=(1, 2, 4, 8)
+):
     """Padded plane layout: row map, reduce-call ranges and regular-width
     regions.
 
@@ -837,7 +884,7 @@ def _plan_layout(offs, nslices, nslices_u, S, YB, CH, force):
             sb = min(int(run_end_of[s]), s_end)
             w = int(widths[s])
             accepted = False
-            if w in (1, 2, 4, 8) and (sb - s) * w >= CH:
+            if w in region_widths and (sb - s) * w >= CH:
                 pad = (-row) % w
                 ra = row + pad
                 r0 = -(-ra // CH) * CH
@@ -1026,6 +1073,18 @@ def save_routed(sr: SellRouted, path) -> None:
     y_arrays = {f"y_{k}": v for k, v in sr.y_ra.items() if k not in ("T", "Tp", "n", "mid_planes")}
     ymid = sr.y_ra["mid_planes"]
     ymid_arrays = {f"ymid_{k}": v for k, v in ymid.items() if k not in ("kind", "Tk")}
+    hot_arrays = {}
+    if sr.hot is not None:
+        hp = sr.hot
+        hot_arrays = {
+            "hot_hidx": hp.hidx, "hot_hvals": hp.hvals,
+            "hot_gcls": hp.hgcls, "hot_emit": hp.hemit,
+            "hot_ycall_rows": hp.ycall_rows, "hot_regions": hp.regions,
+            "hot_ids": hp.hot_ids,
+            "hot_meta": np.asarray(
+                [hp.nslices, hp.NH, hp.ncand], dtype=np.int64
+            ),
+        }
     np.savez_compressed(
         path,
         w8=sr.w8, li=sr.li, gcls=sr.gcls, seg_blk=sr.seg_blk,
@@ -1057,7 +1116,7 @@ def save_routed(sr: SellRouted, path) -> None:
             sr.ring_cnt if sr.ring_cnt is not None else (), dtype=np.int64
         ),
         ring_nsegtab=np.asarray(sr.ring_nsegtab, dtype=np.int64),
-        **mid_arrays, **y_arrays, **ymid_arrays,
+        **mid_arrays, **y_arrays, **ymid_arrays, **hot_arrays,
     )
 
 
@@ -1081,7 +1140,20 @@ def load_routed(path) -> SellRouted:
     else:
         w8_l = z["w8"] * 8
         gcls_l = np.full(int(z["T"]) // 8, 8, dtype=np.int32)
+    hot = None
+    if "hot_meta" in z:
+        from cvr_tpu.formats.hot import HotPlanes
+
+        hm = z["hot_meta"]
+        hot = HotPlanes(
+            hidx=z["hot_hidx"], hvals=z["hot_hvals"],
+            hgcls=z["hot_gcls"], hemit=z["hot_emit"],
+            ycall_rows=z["hot_ycall_rows"], regions=z["hot_regions"],
+            hot_ids=z["hot_ids"], nslices=int(hm[0]), NH=int(hm[1]),
+            ncand=int(hm[2]),
+        )
     return SellRouted(
+        hot=hot,
         w8=w8_l, gcls=gcls_l, li=z["li"], seg_blk=z["seg_blk"],
         regions=(
             z["regions"]

@@ -843,6 +843,205 @@ def reduce_m3_slices(
 
 
 # ---------------------------------------------------------------------------
+# reduce_hot: the hot-column hybrid's reduce (cvr_tpu/formats/hot.py).
+# gx comes from ONE static VMEM-resident (8, 128) hot table instead of
+# the routed mstream: per 8-plane-row group, a 1/2/4/8-candidate window
+# gather (the expand kernel's class dispatch, minus the dynamic window
+# base — the hot table IS the window).  Everything downstream (emission
+# sweep, regular regions, y-stream layout) is shared with the routed
+# reduce, so the hot slice sums add straight into the y stream.
+# ---------------------------------------------------------------------------
+
+
+def _hot_gather_groups(blk, gcls_ref, xh_ref, v_ref, hi_ref, p_ref,
+                       ncand_max: int):
+    """Stage hot products into p_ref (8, CH, 128), class-dispatched."""
+    if ncand_max == 1:
+        # single 128-column window: flat full-width gather, no classes
+        for i in range(8):
+            lo = jnp.bitwise_and(hi_ref[i].astype(jnp.int32), 127)
+            op = jnp.broadcast_to(xh_ref[0:1, :], lo.shape)
+            p_ref[i] = jnp.take_along_axis(op, lo, axis=1) * v_ref[i]
+        return
+
+    def tgroup(tg, _):
+        t8 = pl.multiple_of(tg * 8, 8)
+        idx8 = hi_ref[:, pl.ds(t8, 8), :].astype(jnp.int32)  # (8,8,128)
+        v8 = v_ref[:, pl.ds(t8, 8), :]
+        code = gcls_ref[blk * (CH // 8) + tg]
+
+        def do(nc):
+            outs = []
+            for j in range(8):
+                idx = idx8[:, j, :]
+                lo = jnp.bitwise_and(idx, 127)
+                hi = jax.lax.shift_right_logical(idx, 7)
+                acc = jnp.zeros((8, 128), jnp.float32)
+                for s in range(nc):
+                    op = jnp.broadcast_to(xh_ref[s : s + 1, :], (8, 128))
+                    cand = jnp.take_along_axis(op, lo, axis=1)
+                    acc = cand if nc == 1 else jnp.where(hi == s, cand, acc)
+                outs.append(acc)
+            p_ref[:, pl.ds(t8, 8), :] = jnp.stack(outs, axis=1) * v8
+
+        for c in (1, 2, 4, 8):
+            if c <= ncand_max:
+
+                @pl.when(code == c)
+                def _(c=c):
+                    do(c)
+
+        return 0
+
+    jax.lax.fori_loop(0, CH // 8, tgroup, 0, unroll=False)
+
+
+def _reduce_hot_kernel(ncand_max: int, emit_ref, gemit_ref, gcls_ref,
+                       xh_ref, v_ref, hi_ref, y_ref, acc_ref, p_ref):
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    _hot_gather_groups(blk, gcls_ref, xh_ref, v_ref, hi_ref, p_ref,
+                       ncand_max)
+    _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref)
+
+
+@functools.lru_cache(maxsize=None)
+def _reduce_hot_call(S: int, nslices: int, ncand_max: int, interpret: bool):
+    grid = S // CH
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # emit, gemit, gcls
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, 128), lambda i, e, ge, gc: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, e, ge, gc: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, e, ge, gc: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, nslices, 128), lambda i, e, ge, gc: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, CH, 128), jnp.float32),
+        ],
+    )
+
+    def fn(emit, gemit, gcls, xh, vals, hidx):
+        return pl.pallas_call(
+            functools.partial(_reduce_hot_kernel, ncand_max),
+            grid_spec=spec,
+            out_shape=jax.ShapeDtypeStruct((8, nslices, 128), jnp.float32),
+            interpret=interpret,
+        )(emit, gemit, gcls, xh, vals, hidx)
+
+    return jax.jit(fn)
+
+
+def reduce_hot_slices(
+    emit: jax.Array,
+    gemit: jax.Array,
+    gcls: jax.Array,
+    xh: jax.Array,
+    vals: jax.Array,
+    hidx: jax.Array,
+    nslices: int,
+    ncand_max: int,
+) -> jax.Array:
+    """Per-slice sums of hot products (see cvr_tpu/formats/hot.py).
+
+    xh (8, 128) f32 hot table; vals/hidx (8, S_pad, 128) stream layout;
+    emit/gemit as in reduce_slices; gcls (S_pad // 8,) int32 classes.
+    """
+    S_pad = emit.shape[0]
+    if S_pad % CH:
+        raise ValueError("emit length must be padded to a multiple of CH")
+    nsp = _round_up(max(nslices, 8), 8)
+    out = _reduce_hot_call(S_pad, nsp, ncand_max, use_interpret())(
+        emit, gemit, gcls, xh, vals, hidx
+    )
+    return out[:, :nslices]
+
+
+def _reduce_hot_regular_kernel(w: int, ncand_max: int, gcls_ref, xh_ref,
+                               v_ref, hi_ref, o_ref, p_ref):
+    blk = pl.program_id(0)
+    _hot_gather_groups(blk, gcls_ref, xh_ref, v_ref, hi_ref, p_ref,
+                       ncand_max)
+    o_ref[...] = p_ref[...].reshape(8, CH // w, w, 128).sum(axis=2)
+
+
+@functools.lru_cache(maxsize=None)
+def _reduce_hot_regular_call(S: int, w: int, ncand_max: int,
+                             interpret: bool):
+    grid = S // CH
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # gcls
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, 128), lambda i, gc: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, gc: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, CH, 128), lambda i, gc: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, CH // w, 128), lambda i, gc: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((8, CH, 128), jnp.float32)],
+    )
+
+    def fn(gcls, xh, vals, hidx):
+        return pl.pallas_call(
+            functools.partial(_reduce_hot_regular_kernel, w, ncand_max),
+            grid_spec=spec,
+            out_shape=jax.ShapeDtypeStruct((8, S // w, 128), jnp.float32),
+            interpret=interpret,
+        )(gcls, xh, vals, hidx)
+
+    return jax.jit(fn)
+
+
+def reduce_hot_regular(
+    gcls: jax.Array,
+    xh: jax.Array,
+    vals: jax.Array,
+    hidx: jax.Array,
+    w: int,
+    ncand_max: int,
+) -> jax.Array:
+    """Hot per-slice sums over a regular width-w region (no emission
+    sweep).  w <= 16 so the (8, CH//w, 128) out block keeps a sublane
+    dimension divisible by 8 (Mosaic block alignment)."""
+    S_rows = vals.shape[1]
+    if S_rows % CH or CH % w or w > 16:
+        raise ValueError("region rows must align to CH, w | CH, w <= 16")
+    return _reduce_hot_regular_call(S_rows, w, ncand_max, use_interpret())(
+        gcls, xh, vals, hidx
+    )
+
+
+# ---------------------------------------------------------------------------
 # chunksel: the M2 pass of the recursive middle stage — move elements
 # across the Tk chunks of each logical row at a fixed chunk-color position.
 # Data is the mstream layout (8, Tk*1024, 128) viewed as (8, Tk, 1024, 128).

@@ -54,10 +54,17 @@ from cvr_tpu.ops.pallas_route import _mid_fused_call, use_interpret
         "extra_src",
         "extra_row",
         "ymask",
+        "hidx",
+        "hvals",
+        "hgcls",
+        "hemit",
+        "hgemit",
+        "hxids",
     ],
     meta_fields=[
         "shape", "T", "S", "S_pad", "nslices", "segw", "n_segs",
         "ycall_rows", "regions", "nslA", "zone_rows", "yslices",
+        "hot_ycall_rows", "hot_regions", "hot_nslices", "hot_ncand",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -87,11 +94,45 @@ class SellRoutedDevice:
     nslA: int = 0  # leading lambda-segment (zone-A) slices
     zone_rows: int = 0  # padded plane rows with aligned stage-3
     yslices: int = 0  # y-stream tiles after the zone-A fold/compact
+    # hub-column hybrid (cvr_tpu/formats/hot.py); hot_nslices == 0 means
+    # no hot planes and the zero-size arrays below are ignored
+    hidx: jax.Array | None = None
+    hvals: jax.Array | None = None
+    hgcls: jax.Array | None = None
+    hemit: jax.Array | None = None
+    hgemit: jax.Array | None = None
+    hxids: jax.Array | None = None
+    hot_ycall_rows: tuple = ()
+    hot_regions: tuple = ()
+    hot_nslices: int = 0
+    hot_ncand: int = 1
 
 
 def to_device_routed(sr: SellRouted, device=None) -> SellRoutedDevice:
     put = functools.partial(jax.device_put, device=device)
+    zi16 = np.zeros((8, 0, 128), np.int16)
+    zf32 = np.zeros((8, 0, 128), np.float32)
+    zi32 = np.zeros(0, np.int32)
+    hp = sr.hot
     return SellRoutedDevice(
+        hidx=put(hp.hidx if hp else zi16),
+        hvals=put(hp.hvals if hp else zf32),
+        hgcls=put(hp.hgcls if hp else zi32),
+        hemit=put(hp.hemit if hp else zi32),
+        hgemit=put(group_emit_encode(hp.hemit) if hp else zi32),
+        hxids=put(hp.hot_ids if hp else zi32),
+        hot_ycall_rows=tuple(
+            (int(a), int(b)) for a, b in np.asarray(hp.ycall_rows)
+        )
+        if hp
+        else (),
+        hot_regions=tuple(
+            tuple(int(v) for v in row) for row in np.asarray(hp.regions)
+        )
+        if hp
+        else (),
+        hot_nslices=hp.nslices if hp else 0,
+        hot_ncand=hp.ncand if hp else 1,
         w8=put(sr.w8),
         gcls=put(sr.gcls),
         li=put(sr.li),
@@ -133,14 +174,76 @@ def spmv_routed(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
     g1 = expand(
         sd.w8, sd.gcls, sd.seg_blk, sd.li, x2, sd.segw
     )  # (8, T, 128)
-    return route_post_expand(sd, g1)
+    return route_post_expand(sd, g1, x=x)
 
 
-def route_post_expand(sd: SellRoutedDevice, g1: jax.Array) -> jax.Array:
+def _hot_stream(sd: SellRoutedDevice, x: jax.Array) -> jax.Array:
+    """Per-slice sums of the captured hot-column elements, in the
+    y-stream layout (flat position of segment g is g) — one add into the
+    routed y stream integrates the hybrid (cvr_tpu/formats/hot.py)."""
+    from cvr_tpu.ops.pallas_route import (
+        YB,
+        reduce_hot_regular,
+        reduce_hot_slices,
+    )
+
+    NH = sd.hxids.shape[0]
+    xh = jnp.take(x, sd.hxids)
+    xh = jnp.pad(xh, (0, 1024 - NH)).reshape(8, 128)
+    parts = []
+    for j, (r0g, nrg) in enumerate(sd.hot_ycall_rows):
+        nsl = min(YB, sd.hot_nslices - j * YB)
+        if nrg == 0:
+            parts.append(jnp.zeros((8, nsl, 128), jnp.float32))
+            continue
+        regs = sorted(r for r in sd.hot_regions if r[0] == j)
+        ir = []
+        cur = r0g
+        for _, rr0, rnr, _w, _s in regs:
+            if rr0 > cur:
+                ir.append((cur, rr0 - cur))
+            cur = rr0 + rnr
+        if cur < r0g + nrg:
+            ir.append((cur, r0g + nrg - cur))
+        ys_g = None
+        for r0, nr in ir:
+            piece = reduce_hot_slices(
+                sd.hemit[r0 : r0 + nr],
+                sd.hgemit[r0 // 8 : (r0 + nr) // 8],
+                sd.hgcls[r0 // 8 : (r0 + nr) // 8],
+                xh,
+                sd.hvals[:, r0 : r0 + nr],
+                sd.hidx[:, r0 : r0 + nr],
+                nsl,
+                sd.hot_ncand,
+            )
+            piece = jax.lax.optimization_barrier(piece)  # fusion crash
+            ys_g = piece if ys_g is None else ys_g + piece
+        if ys_g is None:
+            ys_g = jnp.zeros((8, nsl, 128), jnp.float32)
+        for _, r0, nr, w, srel in regs:
+            piece = reduce_hot_regular(
+                sd.hgcls[r0 // 8 : (r0 + nr) // 8],
+                xh,
+                sd.hvals[:, r0 : r0 + nr],
+                sd.hidx[:, r0 : r0 + nr],
+                w,
+                sd.hot_ncand,
+            )
+            piece = jax.lax.optimization_barrier(piece)
+            ys_g = jax.lax.dynamic_update_slice(ys_g, piece, (0, srel, 0))
+        parts.append(ys_g)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def route_post_expand(
+    sd: SellRoutedDevice, g1: jax.Array, x: jax.Array | None = None
+) -> jax.Array:
     """The x-independent tail of the routed pipeline (middle route,
     reduce, y-route, extras) — shared by the single-chip path and the
     ring-overlapped distributed path, whose expand runs piece by piece
-    (cvr_tpu/parallel/dist_routed.py)."""
+    (cvr_tpu/parallel/dist_routed.py).  ``x`` is only read by the
+    hub-column hybrid's hot planes (hot_nslices > 0)."""
     # Route middle up to the mstream (M3 is fused into the reduce).
     Tk = sd.mid.Tk
     if sd.mid.kind == "rec":
@@ -221,6 +324,15 @@ def route_post_expand(sd: SellRoutedDevice, g1: jax.Array) -> jax.Array:
         ys = jnp.concatenate([sA, ys[:, nA:, :]], axis=1)
     yT = sd.yroute.Tp
     ysp = jnp.pad(ys, ((0, 0), (0, yT - (sd.yslices or sd.nslices)), (0, 0)))
+    if sd.hot_nslices:
+        # hub-column hybrid: hot per-slice sums share the y-stream flat
+        # layout (position of segment g is g) — one padded add
+        if x is None:
+            raise ValueError("hot planes need x in route_post_expand")
+        ys_hot = _hot_stream(sd, x)
+        ysp = ysp + jnp.pad(
+            ys_hot, ((0, 0), (0, yT - sd.hot_nslices), (0, 0))
+        )
     y = apply_route_stream(sd.yroute, ysp)
     if sd.ymask.shape[0]:
         # empty rows whose segments sorted beyond the effective slices
