@@ -341,7 +341,16 @@ def routed_stream_phase(
     nrows, ncols = sm.shape
     zone = None
     vals_prov = None
-    if force is None and hasattr(_native, "route_compile_zone_native"):
+    # CVR_ZONE=0 forces the legacy (pre-zone) layout: the zone's
+    # single-SpMV win costs vmapped-SpMM batch amortization (see
+    # DESIGN.md round 3), so the SpMM dispatch packs legacy at small K.
+    import os as _os
+
+    if (
+        force is None
+        and _os.environ.get("CVR_ZONE", "") != "0"
+        and hasattr(_native, "route_compile_zone_native")
+    ):
         with pt.phase("zone_plan"):
             zone = _zone_plan(sm, YB, CH)
     if zone is not None:

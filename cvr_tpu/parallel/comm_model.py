@@ -88,6 +88,61 @@ def weak_scaling(
     return t_comm, e_block, e_ov
 
 
+def weak_scaling_2d(
+    t_comp_s: float,
+    ncols: int,
+    nrows: int,
+    R: int,
+    C: int,
+    f_exp: float = 0.35,
+    bw_ici: float = RING_LINKS * ICI_LINK_BW,
+) -> tuple[float, float, float]:
+    """(t_comm, E_blocking, E_overlap) on an (R x C) mesh, weak scaling.
+
+    2D path (parallel/dist2d.py): per iteration a device all-gathers
+    its column block of x over the ROW axis — (R-1)/R * ncols * 4 bytes
+    received (weak scaling: the global x is C * ncols long, the block
+    is ncols) — and reduce-scatters its row-block partial y over the
+    COL axis — (C-1)/C * nrows * 4 bytes sent/received.  Unlike the 1D
+    ring, per-device volume is ~constant in D for R ~ C ~ sqrt(D).
+    The overlap column hides only the x gather (the y reduce-scatter
+    trails the compute; a pipelined variant could hide it too).
+    """
+    gather = (R - 1) / R * ncols * 4
+    scatter = (C - 1) / C * nrows * 4
+    t_comm = (gather + scatter) / bw_ici
+    e_block = t_comp_s / (t_comp_s + t_comm)
+    t_ov = (
+        max(f_exp * t_comp_s, gather / bw_ici)
+        + (1.0 - f_exp) * t_comp_s
+        + scatter / bw_ici
+    )
+    e_ov = t_comp_s / t_ov
+    return t_comm, e_block, e_ov
+
+
+def best_mesh_2d(
+    t_comp_s: float,
+    ncols: int,
+    nrows: int,
+    D: int,
+    f_exp: float = 0.35,
+) -> tuple[int, int, float, float]:
+    """(R, C, E_blocking, E_overlap): the best R*C == D factorization."""
+    best = None
+    R = 1
+    while R <= D:
+        if D % R == 0:
+            C = D // R
+            _, e_b, e_o = weak_scaling_2d(
+                t_comp_s, ncols, nrows, R, C, f_exp
+            )
+            if best is None or e_b > best[2]:
+                best = (R, C, e_b, e_o)
+        R += 1
+    return best
+
+
 def knee_devices(
     t_comp_s: float,
     ncols: int,

@@ -307,8 +307,14 @@ def _dist_routed_finish(
     )
 
 
-def _local_device(dm: DistRoutedMatrix, pl: dict) -> SellRoutedDevice:
-    """Assemble the single-chip device struct from shard-local planes."""
+def _local_device(
+    dm, pl: dict, ncols: int | None = None
+) -> SellRoutedDevice:
+    """Assemble the single-chip device struct from shard-local planes.
+
+    ``ncols`` overrides the local column count (the 2D mesh path's
+    column blocks are narrower than the global matrix,
+    cvr_tpu/parallel/dist2d.py)."""
     m = dm.meta
 
     def midp(prefix, kind, Tk):
@@ -345,7 +351,7 @@ def _local_device(dm: DistRoutedMatrix, pl: dict) -> SellRoutedDevice:
         extra_src=pl["extra_src"][0],
         extra_row=pl["extra_row"][0],
         ymask=pl["ymask"][0],
-        shape=(dm.rows_max, dm.shape[1]),
+        shape=(dm.rows_max, ncols if ncols is not None else dm.shape[1]),
         T=m["T"],
         S=m["S_pad"],
         S_pad=m["S_pad"],

@@ -168,15 +168,19 @@ def main():
         rows.append(bench_one("banded-200K", coo, 128, P.HIGHEST))
     else:
         web = web_google_like()
-        for K in (32, 128):
+        # round-4 K grid: vmapped routed carries K < 96; the lane
+        # path's row-bound take crosses over at K ~ 96 (DESIGN.md r4)
+        for K in (32, 64):
+            rows.append(bench_vmapped("web-Google-like", web, K))
+        for K in (64, 96, 128):
             rows.append(bench_lane("web-Google-like", web, K))
-        rows.append(bench_vmapped("web-Google-like", web, 128))
         del web
         banded = banded_matrix(1_000_000, bandwidth=27, seed=0)
         for K in (32, 128, 256):
             rows.append(bench_one("banded-1M", banded, K, P.HIGHEST))
         rows.append(bench_one("banded-1M", banded, 128, P.HIGH))
-        rows.append(bench_vmapped("banded-1M", banded, 128))
+        for K in (32, 128):
+            rows.append(bench_vmapped("banded-1M", banded, K))
         del banded
         rows.append(bench_one("fem-like", fem_like(), 128, P.HIGHEST))
         rows.append(
