@@ -55,6 +55,9 @@ class BellMatrix:
     TBb: int
     convert_time: float = 0.0
     convert_phases: dict | None = None
+    # raw (rows, cols, vals) spill triples when packed with
+    # pack_spill=False (the dist layer packs them itself)
+    spill_raw: tuple | None = None
 
     @property
     def R_sub(self) -> int:
@@ -66,12 +69,24 @@ def bell_pack(
     k: int | None = None,
     max_spill: float = 0.02,
     max_k: int = 12,
+    reach_force: int | None = None,
+    R_sub_min: int = 0,
+    pack_spill: bool = True,
 ) -> BellMatrix:
     """Pack a banded-sparse CSR into BELL planes + routed spill.
 
     Gate: at least (1 - max_spill) of the nnz must sit within
     REACH_CAP columns of the diagonal AND within the first k entries
     of their row, for some k <= max_k; otherwise BellInfeasible.
+
+    ``reach_force`` / ``R_sub_min`` pin the window geometry so
+    independently packed row shards share one kernel program
+    (cvr_tpu/parallel/dist_bell.py); ``pack_spill=False`` leaves the
+    spill as raw (rows, cols, vals) triples in ``spill_raw`` instead of
+    packing it (the dist layer packs shard spills under a forced routed
+    geometry).  Columns may be negative down to -128*ceil(reach/128)
+    (a row shard's band can reach left of its first row; the x table's
+    ``pre`` region covers it).
     """
     from cvr_tpu import _native
 
@@ -109,8 +124,12 @@ def bell_pack(
             f"spill {spilled / nnz:.1%} at k={min(k, max_k)} over the "
             f"{max_spill:.0%} gate"
         )
+    if reach_force is not None:
+        if reach_force < reach:
+            raise ValueError("reach_force below the measured reach")
+        reach = reach_force
     cr = -(-reach // 128)
-    R_sub0 = -(-max(nrows, 1) // 128)
+    R_sub0 = max(-(-max(nrows, 1) // 128), R_sub_min)
     TBb = bell_tbb0(k)
     R_sub = _round_up(R_sub0, TBb * 8)
 
@@ -146,7 +165,10 @@ def bell_pack(
 
     spill = None
     spill_map = None
-    if sp_rows.size:
+    spill_raw = None
+    if sp_rows.size and not pack_spill:
+        spill_raw = (sp_rows, sp_cols, sp_vals)
+    elif sp_rows.size:
         from cvr_tpu.formats.sell_routed import sell_pack_routed
 
         # compress the spill to its occupied rows: the residual's pack
@@ -172,7 +194,7 @@ def bell_pack(
         phases.update(
             {f"spill_{p}": v for p, v in (spill.convert_phases or {}).items()}
         )
-    return BellMatrix(
+    bm = BellMatrix(
         li=li,
         vals=vals,
         spill=spill,
@@ -188,6 +210,8 @@ def bell_pack(
         convert_time=dt,
         convert_phases=phases,
     )
+    bm.spill_raw = spill_raw
+    return bm
 
 
 def save_bell(bm: BellMatrix, path) -> None:

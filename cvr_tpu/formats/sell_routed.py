@@ -157,7 +157,8 @@ def _zone_plan(sm: SellMatrix, YB: int, CH: int):
         raise AssertionError("zero-width slices must be trailing")
     S_mixed = int(offs_mixed[-1])
     rmap, ycall_rows, regions, S_padded = _plan_layout(
-        offs_mixed, nslices, nslices, S_mixed, YB, CH, None
+        offs_mixed, nslices, nslices, S_mixed, YB, CH, None,
+        region_widths=(1, 2, 4, 8, 16),
     )
     zr0 = rmap[offs_mixed[:nslA]]
     b = int(offs_mixed[nslA])
@@ -380,7 +381,8 @@ def routed_stream_phase(
             nslices_u = force.nslices
         offs = sm.slice_offsets.astype(np.int64)
         rmap, ycall_rows, regions, S_padded = _plan_layout(
-            offs, nslices, nslices_u, S, YB, CH, force
+            offs, nslices, nslices_u, S, YB, CH, force,
+            region_widths=(1, 2, 4, 8, 16),
         )
         cols_used = sm.cols_plane
         rmap_used = rmap
@@ -641,7 +643,8 @@ def pack_routed(
     # CH grid.
     offs = sm.slice_offsets.astype(np.int64)
     rmap, ycall_rows, regions, S_padded = _plan_layout(
-        offs, nslices, nslices_u, S, YB, CH, force
+        offs, nslices, nslices_u, S, YB, CH, force,
+        region_widths=(1, 2, 4, 8, 16),
     )
     N_plane = S_padded * TILE
     force_T = 0 if force is None or force.T is None else int(force.T)

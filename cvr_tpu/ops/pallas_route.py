@@ -740,8 +740,9 @@ def _reduce_m3_regular_call(S_rows: int, w: int, ofs: int, s3fast: bool,
                             interpret: bool):
     if CH != 128:
         raise ValueError("reduce_m3_regular requires CH == 128")
-    if 128 % w or w > 8:
-        raise ValueError("regular width must be in {1, 2, 4, 8}")
+    if 128 % w or w > 16:
+        # w = 16 keeps the out block at (8, 8, 128) — still 8 sublanes
+        raise ValueError("regular width must be in {1, 2, 4, 8, 16}")
     grid = S_rows // CH
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -800,8 +801,8 @@ def reduce_m3_regular(
     """Per-slice sums over a width-w regular region (no emission sweep).
 
     vals/p3: the region's plane-row slices (8, nr, 128), nr a multiple
-    of CH; m/m3: the FULL mstream and M3 planes; w in {1, 2, 4, 8} must
-    divide CH and every slice in the region has exactly w rows.
+    of CH; m/m3: the FULL mstream and M3 planes; w in {1, 2, 4, 8, 16}
+    must divide CH and every slice in the region has exactly w rows.
     s3fast: the rows are zone-A (aligned stage-3, one gather/sublane).
     Returns (8, nr // w, 128) slice sums in region slice order.
     """

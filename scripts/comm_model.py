@@ -20,6 +20,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from cvr_tpu.parallel.comm_model import (
+    best_mesh_2d,
     comm_table,
     knee_devices,
     weak_scaling,
@@ -46,7 +47,8 @@ def main() -> int:
     hdr = (
         f"{'domain':<18} {'HBM MB/it':>10} {'ICI MB/it@8':>12} "
         f"{'t_comp ms':>10} {'t_comm ms@8':>12} "
-        f"{'E8 blk/ovl':>12} {'E64':>10} {'E256':>10} {'D@70% blk/ovl':>14}"
+        f"{'E8 blk/ovl':>12} {'E64':>10} {'E256':>10} {'D@70% blk/ovl':>14} "
+        f"{'2D E8 (RxC)':>12} {'2D E64':>8}"
     )
     print(hdr)
     print("-" * len(hdr))
@@ -55,6 +57,13 @@ def main() -> int:
         e64 = weak_scaling(cr.t_comp_s, int(r["ncols"]), 64, args.fexp)
         e256 = weak_scaling(cr.t_comp_s, int(r["ncols"]), 256, args.fexp)
         kb, ko = knee_devices(cr.t_comp_s, int(r["ncols"]), args.fexp)
+        nrows = int(r.get("nrows") or r["ncols"])
+        R8, C8, e2b8, _ = best_mesh_2d(
+            cr.t_comp_s, int(r["ncols"]), nrows, 8, args.fexp
+        )
+        _, _, e2b64, _ = best_mesh_2d(
+            cr.t_comp_s, int(r["ncols"]), nrows, 64, args.fexp
+        )
         print(
             f"{cr.name:<18} {cr.stream_bytes / 1e6:>10.1f} "
             f"{cr.gather_bytes / 1e6:>12.2f} {cr.t_comp_s * 1e3:>10.3f} "
@@ -62,6 +71,7 @@ def main() -> int:
             f"{cr.eff_blocking:>5.2f}/{cr.eff_overlap:<5.2f}"
             f" {e64[1]:>4.2f}/{e64[2]:<4.2f} {e256[1]:>4.2f}/{e256[2]:<4.2f}"
             f" {kb:>6d}/{ko:<6d}"
+            f" {e2b8:>5.2f} ({R8}x{C8}) {e2b64:>7.2f}"
         )
     return 0
 
