@@ -209,6 +209,83 @@ def fem_like(
     ).sum_duplicates()
 
 
+# ---------------------------------------------------------------------------
+# Second stand-ins per CGO'18 domain (round 4): different generator
+# seeds AND parameters, so each domain's score is the min over >= 2
+# structurally distinct matrices instead of one seed's luck (the paper's
+# Table 3 averages several real matrices per domain).
+# ---------------------------------------------------------------------------
+
+
+def web_google_like_b() -> COOMatrix:
+    """Web-graph second stand-in: shallower quadrant skew, lower edge
+    factor, different seed (~4.6M nnz)."""
+    return rmat_matrix(
+        scale=20, edge_factor=5, a=0.59, b=0.18, c=0.18, seed=101
+    )
+
+
+def soc_livejournal_like_b() -> COOMatrix:
+    """Social second stand-in: denser rows at half the vertex count."""
+    return rmat_matrix(scale=21, edge_factor=12, seed=31)
+
+
+def wiki_talk_like_b(seed: int = 99) -> COOMatrix:
+    """Wiki second stand-in with an adversarial 100K-degree hub tail:
+    the base steep R-MAT plus one ~100K-nnz row and one ~100K-reference
+    column (wiki-Talk's celebrity structure, paper Table 2) — exercises
+    split_len row-stealing and the hub-column machinery at once."""
+    coo = rmat_matrix(
+        scale=21, edge_factor=3, a=0.65, b=0.15, c=0.15, seed=seed
+    )
+    rng = np.random.default_rng(seed + 1)
+    n = coo.shape[0]
+    hub = 100_000
+    hub_row = np.full(hub, 12345, dtype=np.int32)
+    hub_row_cols = rng.integers(0, n, hub).astype(np.int32)
+    hub_col_rows = rng.integers(0, n, hub).astype(np.int32)
+    hub_col = np.full(hub, 54321, dtype=np.int32)
+    rows = np.concatenate([coo.rows, hub_row, hub_col_rows])
+    cols = np.concatenate([coo.cols, hub_row_cols, hub_col])
+    vals = np.concatenate(
+        [coo.vals, rng.standard_normal(2 * hub).astype(np.float32)]
+    )
+    return COOMatrix(
+        rows=rows, cols=cols, vals=vals, shape=coo.shape
+    ).sum_duplicates()
+
+
+def citation_like_b() -> COOMatrix:
+    """Citation second stand-in: milder skew, ~12 nnz/row."""
+    return rmat_matrix(
+        scale=20, edge_factor=12, a=0.52, b=0.22, c=0.22, seed=37
+    )
+
+
+def road_usa_like_b() -> COOMatrix:
+    """Road second stand-in: half the vertices, denser, tighter reach."""
+    return road_usa_like(n=1 << 22, deg=2.8, reach=48, seed=23)
+
+
+def rgg_like_b() -> COOMatrix:
+    """Routing second stand-in: smaller graph, denser, shorter reach."""
+    return rgg_like(n=1 << 20, deg=9, reach=64, seed=5)
+
+
+def fsm_like_b() -> COOMatrix:
+    """FSM second stand-in: wider alphabet (deg 10), 4096 shallow hub
+    states, lower failure fraction."""
+    return fsm_like(
+        n=1 << 20, deg=10, hub_states=4096, reach=32, p_fail=0.45,
+        seed=29,
+    )
+
+
+def fem_like_b() -> COOMatrix:
+    """EngSci second stand-in: denser rows, wider band, fewer nodes."""
+    return fem_like(n=1 << 19, deg=80, bw=220, seed=3)
+
+
 def banded_matrix(
     n: int, bandwidth: int = 27, seed: int = 0, dtype=np.float32
 ) -> COOMatrix:

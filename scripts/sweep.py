@@ -61,20 +61,41 @@ def cgo18_suite():
                 return fallback()
         return load
 
+    from cvr_tpu.bench.synthetic import (
+        citation_like_b,
+        fem_like_b,
+        fsm_like_b,
+        rgg_like_b,
+        road_usa_like_b,
+        soc_livejournal_like_b,
+        web_google_like_b,
+        wiki_talk_like_b,
+    )
+
+    # two structurally distinct stand-ins per paper domain (round 4:
+    # the domain score is the MIN over its matrices, scripts/make_parity)
     return [
         ("web-Google-like",
          real_or("web-Google", "SNAP", web_google_like)),  # webGraph: 7.28
+        ("web-rmat-b", web_google_like_b),
         ("soc-LJ-like",
          real_or("soc-LiveJournal1", "SNAP", soc_livejournal_like)),  # social: 6.59
+        ("soc-rmat-b", soc_livejournal_like_b),
         ("wiki-Talk-like",
          real_or("wiki-Talk", "SNAP", wiki_talk_like)),    # wiki:     5.77
+        ("wiki-hub-b", wiki_talk_like_b),
         ("citation-like",
          real_or("cit-Patents", "SNAP", citation_like)),   # citation: 6.26
+        ("citation-b", citation_like_b),
         ("road-usa-like",
          real_or("road_usa", "DIMACS10", road_usa_like)),  # road:     9.57
+        ("road-b", road_usa_like_b),
         ("rgg-like", rgg_like),                            # routing: 17.11
+        ("rgg-b", rgg_like_b),
         ("fsm-like", fsm_like),                            # FSM:      8.09
+        ("fsm-b", fsm_like_b),
         ("fem-like", fem_like),                            # EngSci:  21.11
+        ("fem-b", fem_like_b),
         ("banded-2M", lambda: banded_matrix(1 << 21, bandwidth=27)),
     ]
 
