@@ -92,36 +92,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pipeline_terms(lengths, wtiles, split_len):
+def _pipeline_terms(lengths_desc, wtiles, split_len):
     """(stream tiles, padded plane rows, zone-A row coverage) estimate
     for a routed pack over segments with the given lengths.
 
+    ``lengths_desc`` must be (approximately) descending — the caller
+    sorts ONCE by total length and reuses the order for every NH
+    candidate (capture subtracts at most HCAP per row, so the rest
+    lengths stay near-sorted; good enough for a gate estimate and it
+    removes the per-NH argsort that dominated the plan's cost).
     wtiles: per-1024-column-window nnz histogram (exact stream tiling:
     the expand cuts at window boundaries, sell_routed 'expand_tiles').
     Splits are approximated by capping lengths at split_len and adding
     the overflow back as extra segments of split_len.
     """
-    capped = np.minimum(lengths, split_len)
+    capped = np.minimum(lengths_desc, split_len)
     # per-row split overflow: ceil(len/split_len) - 1 extra segments
-    over = lengths[lengths > split_len]
+    over = lengths_desc[lengths_desc > split_len]
     n_extra = int((-(-over // split_len) - 1).sum()) if over.size else 0
     tiles = int(np.ceil(np.maximum(wtiles, 0.0) / 1024.0).sum())
-    srt = np.sort(capped, kind="stable")[::-1]
+    srt = capped
     if n_extra:
         srt = np.concatenate(
             [np.full(n_extra, split_len, srt.dtype), srt]
         )
-        srt.sort(kind="stable")
-        srt = srt[::-1]
     pad = (-srt.shape[0]) % 1024
     if pad:
         srt = np.concatenate([srt, np.zeros(pad, srt.dtype)])
     by_slice = srt.reshape(-1, 1024)
     rows = int(by_slice.max(axis=1).sum() * 1.02)  # CH/region padding
     # zone-A coverage: a 128-segment group joins the lambda zone when
-    # its longest segment reaches ZONE_MINLEN=8 (sorted => the first of
-    # each group); its rows are the 8-slot-rounded lambda widths
-    g128_max = srt.reshape(-1, 128)[:, 0]
+    # its longest segment reaches ZONE_MINLEN=8; its rows are the
+    # 8-slot-rounded lambda widths
+    g128_max = srt.reshape(-1, 128).max(axis=1)
     elig = g128_max >= 8
     zrows = int((-(-g128_max[elig] // 8)).sum())
     covA = min(1.0, zrows * 1.02 / max(rows, 1))
@@ -148,28 +151,34 @@ def plan_hot(
     if nnz == 0 or ncols < 256:
         return None
     counts = np.bincount(csr.cols, minlength=ncols)
-    order = np.argsort(-counts, kind="stable")
+    nh_max = max(k for k in nh_candidates if k <= ncols)
+    # top-NH sets are nested: one argpartition + a small sort of NH_max
+    top = np.argpartition(-counts, nh_max - 1)[:nh_max]
+    order = top[np.argsort(-counts[top], kind="stable")]
     n = csr.row_lengths
     mean_len = -(-max(nnz, 1) // max(csr.shape[0], 1))
     split_len = max(1024, 16 * mean_len)
     wtiles_all = np.bincount(
         (csr.cols >> 10).astype(np.int64), minlength=-(-ncols // 1024)
     ).astype(np.float64)
-    t_old, r_old, cov_old = _pipeline_terms(n, wtiles_all, split_len)
+    # ONE length sort, reused for base, every rest estimate and the
+    # hot-slot estimate (capture perturbs lengths by <= HCAP per row)
+    n_order = np.argsort(-n, kind="stable")
+    n_desc = n[n_order]
+    t_old, r_old, cov_old = _pipeline_terms(n_desc, wtiles_all, split_len)
     T_old = _round_up(max(t_old, r_old), 1024)
     base_ns = T_old * NS_ROUTE_TILE + r_old * (
         NS_REDUCE_BASE + NS_S3FULL * (1 - cov_old)
     )
     rows_rep = csr.row_ids()
+    rank_of = np.full(ncols, np.iinfo(np.int32).max, dtype=np.int32)
+    rank_of[order] = np.arange(nh_max, dtype=np.int32)
+    rank = rank_of[csr.cols]
     best = None
-    hot = np.zeros(ncols, dtype=bool)
     for NH in nh_candidates:
         if NH > ncols:
             continue
-        hot[:] = False
-        hot[order[:NH]] = True
-        is_hot = hot[csr.cols]
-        h = np.bincount(rows_rep[is_hot], minlength=csr.shape[0])
+        h = np.bincount(rows_rep[rank < NH], minlength=csr.shape[0])
         hc = np.minimum(np.minimum(h, np.maximum(n - 1, 0)), HCAP)
         capture = int(hc.sum())
         if capture == 0:
@@ -183,41 +192,59 @@ def plan_hot(
             (order[:NH] >> 10).astype(np.int64),
             counts[order[:NH]] * cap_frac,
         )
-        rest = n - hc
+        hc_d = hc[n_order]
+        rest_d = n_desc - hc_d
         t_new, r_new, cov_new = _pipeline_terms(
-            rest, wtiles_new, split_len
+            rest_d, wtiles_new, split_len
         )
         T_new = _round_up(max(t_new, r_new), 1024)
         rest_ns = T_new * NS_ROUTE_TILE + r_new * (
             NS_REDUCE_BASE + NS_S3FULL * (1 - cov_new)
         )
         # hot-side cost: quantized widths, exact region-run coverage
-        o = np.argsort(-rest, kind="stable")
-        hs = hc[o]
-        pad = (-hs.shape[0]) % 1024
-        if pad:
-            hs = np.concatenate([hs, np.zeros(pad, hs.dtype)])
-        w = hs.reshape(-1, 1024).max(axis=1)
-        nzw = w > 0
-        w[nzw] = 1 << np.ceil(np.log2(w[nzw])).astype(np.int64)
-        cuts = np.flatnonzero(np.diff(w) != 0) + 1
-        bounds = np.concatenate(([0], cuts, [w.shape[0]]))
-        reg_rows = 0
-        swp_rows = 0
-        for b0, b1 in zip(bounds[:-1], bounds[1:]):
-            ww = int(w[b0])
-            nr = (b1 - b0) * ww
-            if ww and ww <= 16 and nr >= 128:
-                reg_rows += nr
-            else:
-                swp_rows += nr
-        ncand = max(1, NH // 128)
-        hot_ns = (
-            reg_rows * (NS_HOT_REGION + NS_HOT_CAND * ncand)
-            + swp_rows * (NS_HOT_SWEEP + NS_HOT_CAND * ncand)
-            + NS_FIXED
+        def hot_cost(hs):
+            pad = (-hs.shape[0]) % 1024
+            if pad:
+                hs = np.concatenate([hs, np.zeros(pad, hs.dtype)])
+            w = hs.reshape(-1, 1024).max(axis=1)
+            nzw = w > 0
+            w[nzw] = 1 << np.ceil(np.log2(w[nzw])).astype(np.int64)
+            cuts = np.flatnonzero(np.diff(w) != 0) + 1
+            bounds = np.concatenate(([0], cuts, [w.shape[0]]))
+            reg_rows = 0
+            swp_rows = 0
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                ww = int(w[b0])
+                nr = (b1 - b0) * ww
+                if ww and ww <= 16 and nr >= 128:
+                    reg_rows += nr
+                else:
+                    swp_rows += nr
+            ncand = max(1, NH // 128)
+            return (
+                reg_rows * (NS_HOT_REGION + NS_HOT_CAND * ncand)
+                + swp_rows * (NS_HOT_SWEEP + NS_HOT_CAND * ncand)
+                + NS_FIXED
+            )
+
+        gain = base_ns - rest_ns - hot_cost(hc_d)
+        thresh0 = (
+            min_net if min_net is not None else MIN_GAIN_FRAC * base_ns
         )
-        gain = base_ns - rest_ns - hot_ns
+        if gain < thresh0 and capture / nnz >= 0.15:
+            # the cheap n-order estimate misjudges BOTH sides when
+            # capture is large and degrees are near-uniform (ties: the
+            # real layout sorts by REST length, which co-sorts the hot
+            # counts and shrinks the rest slices — decisive on
+            # fsm-class hub matrices); pay one exact sort to decide
+            o2 = np.argsort(-(n - hc), kind="stable")
+            rest_s = (n - hc)[o2]
+            t2, r2, cov2 = _pipeline_terms(rest_s, wtiles_new, split_len)
+            T2 = _round_up(max(t2, r2), 1024)
+            rest_ns2 = T2 * NS_ROUTE_TILE + r2 * (
+                NS_REDUCE_BASE + NS_S3FULL * (1 - cov2)
+            )
+            gain = base_ns - rest_ns2 - hot_cost(hc[o2])
         if best is None or gain > best[1]:
             best = (NH, gain)
     thresh = (
