@@ -35,8 +35,15 @@ def main() -> int:
     ap.add_argument("--x-sharded", action="store_true", default=True)
     ap.add_argument(
         "--impl", default="routed",
-        choices=["routed", "window", "dia", "xla"],
-        help="per-shard kernel (routed = the flagship Pallas pipeline)",
+        choices=["routed", "window", "dia", "xla", "routed2d", "bell",
+                 "lane"],
+        help="per-shard kernel (routed = the flagship Pallas pipeline; "
+        "routed2d = the 2D row x col mesh, see --mesh2d)",
+    )
+    ap.add_argument(
+        "--mesh2d", default=None, metavar="RxC",
+        help="2D mesh shape for --impl routed2d (e.g. 4x2); default "
+        "R = D//2, C = 2",
     )
     args = ap.parse_args()
 
@@ -73,7 +80,62 @@ def main() -> int:
 
     mesh = make_mesh()
     t0 = time.perf_counter()
-    if args.impl == "routed":
+    if args.impl == "routed2d":
+        from cvr_tpu.parallel.dist2d import (
+            dist_routed_pack_2d,
+            dist_spmv_routed_2d,
+            make_mesh2d,
+        )
+
+        D = len(devices)
+        if args.mesh2d:
+            R, C = (int(v) for v in args.mesh2d.lower().split("x"))
+        else:
+            R, C = max(D // 2, 1), min(2, D)
+        mesh = make_mesh2d(R, C)
+        dm = dist_routed_pack_2d(csr, mesh)
+        preproc = time.perf_counter() - t0
+        x = np.ones(coo.shape[1], dtype=np.float32)
+        step = jax.jit(lambda v: dist_spmv_routed_2d(dm, v))
+        jax.block_until_ready(step(x))
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(args.iters):
+            y = step(x)
+        jax.block_until_ready(y)
+        per = (time.perf_counter() - t0) / args.iters
+        if is_lead:
+            nnz = csr.nnz
+            bw = HBM_BW[detect_chip()] * len(devices)
+            print(f"[file: {name}] [threads: {R}x{C}mesh] "
+                  f"Pre-processing Time: {preproc * 1e3:.3f} ms")
+            print(f"[file: {name}] [threads: {R}x{C}mesh] "
+                  f"SpMV Execution Time: {per * 1e3:.6f} ms")
+            print(f"[file: {name}] [threads: {R}x{C}mesh] "
+                  f"Throughput: {2 * nnz / per / 1e9:.3f} GFlops (2*nnz), "
+                  f"{nnz / per / 1e9:.3f} Gnnz/s, "
+                  f"{100 * nnz * 8.0 / per / bw:.1f}% of aggregate HBM "
+                  f"roofline")
+        return 0
+    if args.impl == "bell":
+        from cvr_tpu.parallel.dist_bell import (
+            dist_bell_pack,
+            dist_spmv_bell,
+        )
+
+        dm = dist_bell_pack(csr, mesh)
+        fn = dist_spmv_bell
+    elif args.impl == "lane":
+        from cvr_tpu.parallel.dist_lane import (
+            dist_lane_pack,
+            dist_spmm_lane,
+        )
+
+        dm = dist_lane_pack(csr, mesh)
+        fn = lambda d, v, x_sharded: dist_spmm_lane(
+            d, v[:, None], x_sharded=x_sharded
+        )[:, 0]
+    elif args.impl == "routed":
         from cvr_tpu.parallel.dist_routed import (
             dist_routed_pack,
             dist_spmv_routed,
