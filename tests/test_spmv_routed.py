@@ -201,3 +201,44 @@ def test_routed_mostly_empty_rows_flat_yroute():
     # empty rows must be exactly zero
     empty = np.setdiff1d(np.arange(n), nonempty)
     assert (y[empty] == 0).all()
+
+
+def test_w16_region_kernel():
+    """Uniform ~121-128 nnz rows give zone lambda-widths of 16: the pack
+    must plan a w=16 regular region (round 4 widened the allowed set)
+    and the region kernel must agree with the golden."""
+    import collections
+
+    import jax
+    import numpy as np
+
+    from cvr_tpu.formats.coo import COOMatrix
+    from cvr_tpu.formats.sell_routed import sell_pack_routed
+    from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
+    from cvr_tpu.ops.spmv_ref import (
+        spmv_golden_numpy,
+        spmv_row_scale,
+        verify,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 4096
+    deg = rng.integers(121, 129, n)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = rng.integers(0, n, rows.shape[0]).astype(np.int32)
+    coo = COOMatrix(
+        rows=rows.astype(np.int32),
+        cols=cols,
+        vals=rng.standard_normal(rows.shape[0]).astype(np.float32),
+        shape=(n, n),
+    ).sum_duplicates()
+    sr = sell_pack_routed(coo.to_csr(), hot="off")
+    widths = collections.Counter(int(r[3]) for r in np.asarray(sr.regions))
+    assert widths.get(16, 0) >= 1, widths
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(jax.jit(spmv_routed)(to_device_routed(sr), x))
+    ok, nbad, maxrel = verify(
+        y, spmv_golden_numpy(coo.to_csr(), x), rtol=1e-6,
+        row_scale=spmv_row_scale(coo.to_csr(), x),
+    )
+    assert ok, f"{nbad} bad rows, max rel {maxrel}"
