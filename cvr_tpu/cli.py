@@ -4,7 +4,8 @@ Reproduces the reference's UX — ``./spmv.cvr <file.mtx> <threads> <iters>``
 (spmv.cpp:1693-1712, README.md:26-28) — as subcommands:
 
   python -m cvr_tpu.cli spmv <file.mtx> [--iters N]
-      [--format auto|bell|dia|routed|window|sell|csr|bsr] [--rhs K] [--c C]
+      [--format auto|bell|dia|routed|window|sell|csr|bsr|lane|pmm]
+      [--rhs K] [--c C]
       [--sigma S] [--no-verify]
       [--save-packed out.npz] [--load-packed in.npz]
   python -m cvr_tpu.cli compare <file.mtx> [--iters N] [--rhs K]
@@ -261,7 +262,30 @@ def _spmm(args, coo) -> int:
             sd = to_device_bell(packed)
             kernel = spmm_bell
         elif isinstance(packed, SellRouted):
-            if args.rhs >= 96:
+            # PMM gate first: on hub-concentrated column histograms
+            # (fsm-class, sampled window fan-in C <~ 8) the exact MXU
+            # perm-matmul path wins by ~5-7x at K=16-128 (70.6 useful
+            # GFLOPS at K=32 on fsm-like; docs/DESIGN.md round 5)
+            from cvr_tpu.ops.spmm_pmm import (
+                NS_LANE_PER_ELEM,
+                NS_ROUTED_PER_ELEM,
+                pmm_estimate,
+                pmm_plan,
+                pmm_projected_ms,
+                spmm_pmm,
+                to_device_pmm,
+            )
+
+            est = pmm_estimate(coo.rows, coo.cols, coo.shape)
+            pmm_ms = pmm_projected_ms(est, args.rhs)
+            routed_ms = args.rhs * coo.nnz * NS_ROUTED_PER_ELEM / 1e6
+            lane_ms = coo.nnz * NS_LANE_PER_ELEM / 1e6
+            if pmm_ms < min(routed_ms, lane_ms):
+                sd = to_device_pmm(
+                    pmm_plan(coo.rows, coo.cols, coo.vals, coo.shape)
+                )
+                kernel = spmm_pmm
+            elif args.rhs >= 96 and lane_ms < routed_ms:
                 # power-law SpMM at wide K: the lane path beats the
                 # vmapped route (15.3 vs 10.8 GFLOPS at K=128 on
                 # web-scale; docs/DESIGN.md "SpMM round 3")
@@ -288,6 +312,13 @@ def _spmm(args, coo) -> int:
 
         sd = to_device_lane(spmm_lane_pack(csr))
         kernel = spmm_lane
+    elif args.format == "pmm":
+        from cvr_tpu.ops.spmm_pmm import pmm_plan, spmm_pmm, to_device_pmm
+
+        sd = to_device_pmm(
+            pmm_plan(coo.rows, coo.cols, coo.vals, coo.shape)
+        )
+        kernel = spmm_pmm
     elif args.format == "bell":
         from cvr_tpu.formats.bell import bell_pack
         from cvr_tpu.ops.spmv_bell import spmm_bell, to_device_bell
@@ -337,6 +368,21 @@ def _spmm(args, coo) -> int:
         f"[file: {args.matrix}] [rhs: {args.rhs}] "
         f"Throughput: {gflops:.3f} GFlops (2*nnz*K)"
     )
+    # row-scaled verification vs the float64 golden (same contract as
+    # the SpMV path; capped: the host-side f64 golden is O(nnz*K))
+    if not args.no_verify and csr.nnz * args.rhs <= 2_000_000_000:
+        Y = np.asarray(kernel(sd, Xd))
+        A64 = csr.to_scipy().astype(np.float64)
+        gold = A64 @ X.astype(np.float64)
+        scale = np.abs(A64) @ np.abs(X.astype(np.float64)) + 1e-30
+        maxrel = float((np.abs(Y - gold) / scale).max())
+        ok = "PASS" if maxrel < 1e-6 else "FAIL"
+        print(
+            f"[file: {args.matrix}] Verification: {ok} "
+            f"(max rel err {maxrel:.2e})"
+        )
+        if ok == "FAIL":
+            return 1
     return 0
 
 
@@ -350,8 +396,8 @@ def cmd_compare(args) -> int:
     if args.rhs > 1:
         import argparse as _ap
 
-        for fmt in ("bsr", "dia", "bell", "lane", "routed", "window",
-                    "sell"):
+        for fmt in ("bsr", "dia", "bell", "lane", "pmm", "routed",
+                    "window", "sell"):
             sub = _ap.Namespace(**{**vars(args), "format": fmt})
             try:
                 _spmm(sub, coo)
@@ -443,8 +489,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--format",
         default="auto",
         choices=[
-            "auto", "bell", "bsr", "dia", "lane", "routed", "sell-routed",
-            "window", "sell-window", "sell", "csr",
+            "auto", "bell", "bsr", "dia", "lane", "pmm", "routed",
+            "sell-routed", "window", "sell-window", "sell", "csr",
         ],
     )
     p.add_argument("--rhs", type=int, default=1, help="K for SpMM")

@@ -230,7 +230,12 @@ def spmm(A, X, impl: str = "auto"):
     instead — the lane path (plane-order row gather, no route) measures
     15.3 vs 10.8 useful GFLOPS on web-Google-like at K=128; below K~96
     its KL=128 lane padding dominates and the vmapped path stands
-    (docs/DESIGN.md "SpMM round 3").
+    (docs/DESIGN.md "SpMM round 3").  Hub-concentrated matrices
+    (fsm-class: mean column-window fan-in C <~ 8) should pack with
+    ``cvr_tpu.ops.spmm_pmm.pmm_plan`` — the exact MXU perm-matmul path
+    measures 70.6 useful GFLOPS at K=32 on fsm-like vs 11 vmapped; the
+    ``pmm_projected_ms`` gate (and CLI auto) dispatches it only where
+    the measured fan-in model says it wins (docs/DESIGN.md round 5).
     """
     from cvr_tpu.formats.bsr import BsrMatrix
     from cvr_tpu.formats.dia import DiaMatrix
@@ -253,6 +258,17 @@ def spmm(A, X, impl: str = "auto"):
         to_device_bsr,
     )
 
+    from cvr_tpu.ops.spmm_pmm import (
+        PmmDevice,
+        PmmPlan,
+        _jitted_spmm_pmm,
+        to_device_pmm,
+    )
+
+    if isinstance(A, PmmPlan):
+        A = to_device_pmm(A)
+    if isinstance(A, PmmDevice):
+        return _jitted_spmm_pmm()(A, jnp.asarray(X))
     if isinstance(A, LanePlan):
         A = to_device_lane(A)
     if isinstance(A, LaneDevice):
