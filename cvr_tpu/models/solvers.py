@@ -224,3 +224,51 @@ def subspace_iteration(
     H = V.T @ W
     evals, Q = jnp.linalg.eigh((H + H.T) / 2)
     return evals[::-1], V @ Q[:, ::-1]
+
+
+def lanczos(
+    matvec,
+    n: int,
+    k: int = 32,
+    seed: int = 0,
+):
+    """k-step Lanczos tridiagonalization of symmetric A (with full
+    reorthogonalization — k is small, so the k^2 cost is dwarfed by the
+    SpMV and the numerics stay clean in f32).
+
+    matvec: v [n] -> A @ v.  Returns (alpha [k], beta [k-1], V [n, k]):
+    eigenvalues of the (alpha, beta) tridiagonal approximate A's extremal
+    spectrum — the standard spectral payload (graph Laplacian bounds,
+    condition estimates) for the reference's matrix suite.
+
+    jit-traceable: fixed k steps via lax.fori_loop over statically
+    shaped carries (columns written with dynamic_update_slice).
+    """
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), jnp.float32)
+    v0 = v0 / jnp.linalg.norm(v0)
+    V = jnp.zeros((n, k), jnp.float32).at[:, 0].set(v0)
+    alpha = jnp.zeros(k, jnp.float32)
+    beta = jnp.zeros(max(k - 1, 1), jnp.float32)
+
+    def body(j, state):
+        V, alpha, beta = state
+        v = V[:, j]
+        w = matvec(v)
+        a = jnp.vdot(v, w)
+        w = w - a * v
+        # full reorthogonalization against the basis built so far
+        # (HIGHEST: TPU DEFAULT matmuls truncate operands to bf16,
+        # which would leave ~1e-3 residual non-orthogonality)
+        hp = jax.lax.Precision.HIGHEST
+        mask = (jnp.arange(k) <= j).astype(jnp.float32)
+        coef = jnp.matmul(V.T, w, precision=hp) * mask
+        w = w - jnp.matmul(V, coef, precision=hp)
+        b = jnp.linalg.norm(w)
+        alpha = alpha.at[j].set(a)
+        beta = jnp.where(j < k - 1, beta.at[j].set(b), beta)
+        vnext = jnp.where(b > 1e-30, w / jnp.maximum(b, 1e-30), w)
+        V = jnp.where(j < k - 1, V.at[:, j + 1].set(vnext), V)
+        return V, alpha, beta
+
+    V, alpha, beta = jax.lax.fori_loop(0, k, body, (V, alpha, beta))
+    return alpha, beta[: k - 1], V

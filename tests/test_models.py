@@ -271,3 +271,93 @@ def test_bicgstab_breakdown_guard():
     )
     assert np.isfinite(np.asarray(x)).all()
     assert np.isfinite(float(res))
+
+
+def test_gcn_layer_matches_dense():
+    """GCN layer through the SpMM dispatcher vs a dense-numpy reference."""
+    from cvr_tpu.formats import pack_auto
+    from cvr_tpu.formats.coo import COOMatrix
+    from cvr_tpu.models import gcn_forward, gcn_normalize
+    from cvr_tpu.ops.spmv import spmm
+
+    rng = np.random.default_rng(3)
+    n, fin, fh, fout = 400, 16, 24, 8
+    rows = np.repeat(np.arange(n, dtype=np.int32), 6)
+    cols = rng.integers(0, n, size=6 * n).astype(np.int32)
+    vals = np.ones(6 * n, dtype=np.float32)
+    nr, nc, nv = gcn_normalize(rows, cols, vals, n)
+    coo = COOMatrix(nr, nc, nv, (n, n)).sum_duplicates()
+    A = pack_auto(coo.to_csr())
+
+    X = rng.standard_normal((n, fin)).astype(np.float32)
+    W1 = (rng.standard_normal((fin, fh)) * 0.3).astype(np.float32)
+    W2 = (rng.standard_normal((fh, fout)) * 0.3).astype(np.float32)
+    out = np.asarray(
+        gcn_forward(lambda M: spmm(A, M), jnp.asarray(X), [W1, W2])
+    )
+
+    Ad = coo.to_dense().astype(np.float64)
+    H = np.maximum(Ad @ (X.astype(np.float64) @ W1), 0.0)
+    ref = Ad @ (H @ W2)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_graphsage_layer_matches_dense():
+    from cvr_tpu.formats import pack_auto
+    from cvr_tpu.formats.coo import COOMatrix
+    from cvr_tpu.models.gnn import graphsage_layer
+    from cvr_tpu.ops.spmv import spmm
+
+    rng = np.random.default_rng(7)
+    n, fin, fout = 300, 12, 12
+    rows = np.repeat(np.arange(n, dtype=np.int32), 5)
+    cols = rng.integers(0, n, size=5 * n).astype(np.int32)
+    vals = np.ones(5 * n, dtype=np.float32)
+    coo = COOMatrix(rows, cols, vals, (n, n)).sum_duplicates()
+    # row-normalize (mean aggregation)
+    deg = np.zeros(n)
+    np.add.at(deg, coo.rows, coo.vals)
+    mv = (coo.vals / np.maximum(deg[coo.rows], 1)).astype(np.float32)
+    mean = COOMatrix(coo.rows, coo.cols, mv, (n, n))
+    A = pack_auto(mean.to_csr())
+
+    X = rng.standard_normal((n, fin)).astype(np.float32)
+    Ws = (rng.standard_normal((fin, fout)) * 0.3).astype(np.float32)
+    Wn = (rng.standard_normal((fin, fout)) * 0.3).astype(np.float32)
+    out = np.asarray(
+        graphsage_layer(lambda M: spmm(A, M), jnp.asarray(X), Ws, Wn)
+    )
+    Ad = mean.to_dense().astype(np.float64)
+    ref = np.maximum(X @ Ws + (Ad @ X) @ Wn, 0.0)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lanczos_extremal_eigenvalues():
+    """Lanczos tridiagonal eigenvalues approximate A's extremal spectrum."""
+    from cvr_tpu.models import lanczos
+
+    rng = np.random.default_rng(11)
+    n = 500
+    import scipy.sparse as sp
+
+    d = sp.diags(
+        [np.full(n - 1, -1.0), rng.uniform(2.1, 6.0, n), np.full(n - 1, -1.0)],
+        [-1, 0, 1],
+    ).tocoo()
+    from cvr_tpu.formats import pack_auto
+    from cvr_tpu.formats.coo import COOMatrix
+    from cvr_tpu.ops.spmv import spmv
+
+    A = pack_auto(COOMatrix.from_scipy(d).to_csr())
+    alpha, beta, V = lanczos(lambda v: spmv(A, v), n, k=40, seed=1)
+    T = np.diag(np.asarray(alpha)) + np.diag(np.asarray(beta), 1) + np.diag(
+        np.asarray(beta), -1
+    )
+    ritz = np.linalg.eigvalsh(T)
+    dense = np.asarray(d.todense(), dtype=np.float64)
+    true = np.linalg.eigvalsh(dense)
+    assert abs(ritz[-1] - true[-1]) / abs(true[-1]) < 1e-3
+    assert abs(ritz[0] - true[0]) / max(abs(true[0]), 1e-9) < 2e-2
+    # the basis is orthonormal (full reorthogonalization)
+    G = np.asarray(V).T @ np.asarray(V)
+    np.testing.assert_allclose(G, np.eye(G.shape[0]), atol=1e-4)
