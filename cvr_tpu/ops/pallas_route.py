@@ -67,6 +67,10 @@ YB = 512
 TB = int(os.environ.get("CVR_TB", "128"))
 
 
+# Flag bit marking a two-emission group code (see group_emit_encode).
+_EMIT2_BIT = 1 << 29
+
+
 def _emit_store_slab(y_ref, acc, dest):
     """Aligned 8-slice slab rewrite with a lane-select (Mosaic rejects
     unaligned dynamic stores)."""
@@ -95,7 +99,7 @@ def _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref):
         def _():
             acc_ref[...] += jnp.sum(p_ref[:, pl.ds(r8, 8), :], axis=1)
 
-        @pl.when(code >= 0)
+        @pl.when((code >= 0) & (code < _EMIT2_BIT))
         def _():
             j = jax.lax.shift_right_logical(code, 16)
             dest = jnp.bitwise_and(code, 65535)
@@ -109,6 +113,29 @@ def _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref):
             )
             rest = jnp.sum(jnp.where(le, 0.0, p8), axis=1)
             _emit_store_slab(y_ref, emitted, dest)
+            acc_ref[...] = rest
+
+        @pl.when(code >= _EMIT2_BIT)
+        def _():
+            # Two emissions at rows j1 < j2 with consecutive dests d,
+            # d+1 (group_emit_encode): three masked reductions + two
+            # slab writes instead of the eight-iteration row walk.
+            j1 = jnp.bitwise_and(jax.lax.shift_right_logical(code, 26), 7)
+            j2 = jnp.bitwise_and(jax.lax.shift_right_logical(code, 23), 7)
+            d = jnp.bitwise_and(code, (1 << 23) - 1)
+            p8 = p_ref[:, pl.ds(r8, 8), :]
+            it = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 128), 1)
+            le1 = it <= j1[None, None, None]
+            le2 = it <= j2[None, None, None]
+            first = acc_ref[...] + jnp.sum(
+                jnp.where(le1, p8, 0.0), axis=1
+            )
+            second = jnp.sum(
+                jnp.where(le1, 0.0, jnp.where(le2, p8, 0.0)), axis=1
+            )
+            rest = jnp.sum(jnp.where(le2, 0.0, p8), axis=1)
+            _emit_store_slab(y_ref, first, d)
+            _emit_store_slab(y_ref, second, d + 1)
             acc_ref[...] = rest
 
         @pl.when(code == -1)
@@ -129,8 +156,16 @@ def _emission_sweep(blk, emit_ref, gemit_ref, p_ref, y_ref, acc_ref):
 
 
 def group_emit_encode(emit):
-    """Per-8-row-group emission code: -2 none, -1 several, else
-    ``j << 16 | dest`` for the single emission at group row j."""
+    """Per-8-row-group emission code: -2 none, -1 three-or-more (the
+    row-walk path), ``j << 16 | dest`` for a single emission at group
+    row j, or — exactly two emissions at rows j1 < j2 with CONSECUTIVE
+    dests d, d+1 (slices emit in plane-row order, so in-group dests are
+    consecutive except across empty slices) —
+    ``(1 << 29) | (j1 << 26) | (j2 << 23) | d``: two masked prefix
+    reductions instead of the eight-iteration walk.  The round-5 width
+    study (experiments/reduce_width_study.py) found ~44% of web's
+    walk groups are exactly-two-emission.  CVR_EMIT2=0 keeps them on
+    the walk (A/B control)."""
     e = np.asarray(emit).reshape(-1, 8)
     has = e >= 0
     cnt = has.sum(axis=1)
@@ -139,6 +174,13 @@ def group_emit_encode(emit):
     enc = np.where(
         cnt == 0, -2, np.where(cnt > 1, -1, (j << 16) | dest)
     )
+    if os.environ.get("CVR_EMIT2", "1") != "0":
+        j2 = 7 - np.argmax(has[:, ::-1], axis=1)
+        dest2 = e[np.arange(e.shape[0]), j2]
+        two = (cnt == 2) & (dest2 == dest + 1)
+        enc = np.where(
+            two, _EMIT2_BIT | (j << 26) | (j2 << 23) | dest, enc
+        )
     return enc.astype(np.int32)
 
 

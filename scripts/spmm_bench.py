@@ -147,11 +147,59 @@ def bench_lane(name, coo, K, iters=10):
     return row
 
 
+def bench_pmm(name, coo, K, iters=20):
+    """The MXU perm-matmul SpMM (cvr_tpu/ops/spmm_pmm.py): one-hot
+    gather + reduce matmuls, exact via the 3x-bf16 split.  Wins where
+    the sampled fan-in C is small (hub-concentrated column histograms,
+    e.g. fsm-class); the gate in cli.py dispatches it there."""
+    import jax.numpy as jnp
+
+    from cvr_tpu.bench.harness import time_fn_iterated
+    from cvr_tpu.ops.spmm_pmm import (
+        pmm_estimate,
+        pmm_plan,
+        spmm_pmm,
+        to_device_pmm,
+    )
+
+    npairs, nchunks = pmm_estimate(coo.rows, coo.cols, coo.shape)
+    t0 = time.perf_counter()
+    plan = pmm_plan(coo.rows, coo.cols, coo.vals, coo.shape)
+    pack_s = time.perf_counter() - t0
+    sd = to_device_pmm(plan)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((coo.shape[1], K)).astype(np.float32)
+    m64 = coo.to_csr().to_scipy().astype(np.float64)
+    Xv = X[:, : min(K, 8)]
+    Y = np.asarray(spmm_pmm(sd, jnp.asarray(Xv)))
+    gold = m64 @ Xv.astype(np.float64)
+    scale = abs(m64) @ np.abs(Xv.astype(np.float64)) + 1e-30
+    maxrel = float((np.abs(Y - gold) / scale).max())
+    t = time_fn_iterated(
+        lambda a, V: spmm_pmm(a, V), sd, jnp.asarray(X), iters, scale=0.05
+    )
+    row = {
+        "name": name,
+        "impl": "pmm",
+        "K": K,
+        "nnz": int(coo.nnz),
+        "fanin_C": round(npairs / max(nchunks, 1), 2),
+        "pack_s": round(pack_s, 3),
+        "spmm_s": t,
+        "useful_gflops": round(2 * coo.nnz * K / t / 1e9, 1),
+        "max_rel_err": maxrel,
+    }
+    print(json.dumps(row))
+    return row
+
+
 def main():
     import jax
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--pmm", action="store_true",
+                    help="only the PMM rows (fsm-class + web control)")
     args = ap.parse_args()
 
     from cvr_tpu.bench.synthetic import (
@@ -163,7 +211,14 @@ def main():
 
     P = jax.lax.Precision
     rows = []
-    if args.quick:
+    if args.pmm:
+        from cvr_tpu.bench.synthetic import fsm_like
+
+        fsm = fsm_like()
+        for K in (32, 64, 128):
+            rows.append(bench_pmm("fsm-like", fsm, K))
+        del fsm
+    elif args.quick:
         coo = banded_matrix(200_000, bandwidth=27, seed=0)
         rows.append(bench_one("banded-200K", coo, 128, P.HIGHEST))
     else:

@@ -242,3 +242,44 @@ def test_w16_region_kernel():
         row_scale=spmv_row_scale(coo.to_csr(), x),
     )
     assert ok, f"{nbad} bad rows, max rel {maxrel}"
+
+
+def test_two_emission_groups(monkeypatch):
+    """Uniform ~23-25 nnz rows give zone lambda-widths of 3 — not a
+    regular-region width — so the reduce sweep sees 8-row groups with
+    exactly two emissions at consecutive dests: the EMIT2 code
+    (pallas_route.group_emit_encode, round 5).  The fast two-reduction
+    branch must agree with the golden AND with the 8-iteration walk
+    (CVR_EMIT2=0)."""
+    import jax
+
+    from cvr_tpu.ops.pallas_route import _EMIT2_BIT, group_emit_encode
+    from cvr_tpu.ops.spmv_routed import spmv_routed, to_device_routed
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    deg = rng.integers(23, 26, n)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = rng.integers(0, n, rows.shape[0]).astype(np.int32)
+    coo = COOMatrix(
+        rows=rows.astype(np.int32),
+        cols=cols,
+        vals=rng.standard_normal(rows.shape[0]).astype(np.float32),
+        shape=(n, n),
+    ).sum_duplicates()
+    csr = coo.to_csr()
+    sr = sell_pack_routed(csr, hot="off")
+    codes = group_emit_encode(np.asarray(sr.emit))
+    n_two = int((codes >= _EMIT2_BIT).sum())
+    assert n_two >= 8, f"fixture grew no two-emission groups: {n_two}"
+    x = rng.standard_normal(n).astype(np.float32)
+    gold = spmv_golden_numpy(csr, x)
+    scale = spmv_row_scale(csr, x)
+    y_fast = np.asarray(jax.jit(spmv_routed)(to_device_routed(sr), x))
+    ok, nbad, maxrel = verify(y_fast, gold, rtol=1e-6, row_scale=scale)
+    assert ok, f"EMIT2 branch: {nbad} bad rows, max rel {maxrel}"
+    monkeypatch.setenv("CVR_EMIT2", "0")
+    codes0 = group_emit_encode(np.asarray(sr.emit))
+    assert int((codes0 >= _EMIT2_BIT).sum()) == 0
+    y_walk = np.asarray(jax.jit(spmv_routed)(to_device_routed(sr), x))
+    np.testing.assert_allclose(y_fast, y_walk, rtol=2e-5, atol=1e-6)
